@@ -1,0 +1,86 @@
+package graft
+
+import graft.data.CorpusGen
+import graft.model._
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+
+/** spark-submit entry point (north_rule: "run via spark-submit").
+  *
+  * Modes:
+  *   --gen N          generate an N-doc synthetic corpus as input
+  *   --in PATH        read an existing docs parquet table instead
+  *   --out PATH       output table root (required)
+  *   --format F       plain | markdown
+  *   --parallelism P  shuffle/partition parallelism (default: session)
+  *   --master M       spark master override (default local[*]; under a
+  *                    real spark-submit the cluster master wins)
+  *   --mega-every K   every K-th generated doc is a mega-doc
+  *
+  * Writes:
+  *   out/extracted/   the ExtractedDoc table (parquet)
+  *   out/audit/       per-partition lineage + metrics rows
+  *
+  * Local example:
+  *   sbt "runMain graft.Main --gen 10000 --out /tmp/graft-out"
+  */
+object Main {
+
+  private def parseArgs(args: Array[String]): Map[String, String] =
+    args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+
+  def main(args: Array[String]): Unit = {
+    val opts = parseArgs(args)
+    val out = opts.getOrElse("out",
+      sys.error("--out <path> is required"))
+    val parallelism = opts.get("parallelism").map(_.toInt).getOrElse(0)
+
+    val builder = SparkSession.builder().appName("graft-extract")
+    if (!sys.props.contains("spark.master") && !opts.contains("no-local"))
+      builder.master(opts.getOrElse("master", "local[*]"))
+    val spark = builder
+      .config("spark.sql.shuffle.partitions",
+        if (parallelism > 0) parallelism.toString
+        else sys.env.getOrElse("SPARK_GRAFT_CPUS",
+          Runtime.getRuntime.availableProcessors().toString))
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val cfg = ExtractConfig(
+      format = OutFormat.parse(opts.getOrElse("format", "plain")),
+      partitions = parallelism)
+
+    val docs: Dataset[Doc] = opts.get("in") match {
+      case Some(path) =>
+        spark.read.parquet(path).as[Doc]
+      case None =>
+        val n = opts.getOrElse("gen", "1000").toLong
+        val genCfg = CorpusGen.GenConfig(
+          markdown = cfg.format == OutFormat.Markdown,
+          megaEvery = opts.get("mega-every").map(_.toLong).getOrElse(0L))
+        // distributed generation — no driver materialization
+        spark.range(0, n)
+          .mapPartitions(_.map(i =>
+            CorpusGen.genDoc(CorpusGen.DefaultSeed, i, genCfg).input))
+    }
+
+    val t0 = System.nanoTime()
+    val acc = Pipeline.auditAccumulator(spark)
+    val extracted = Pipeline.extract(docs, cfg, snapshotId = 1L, audit = acc)
+    extracted.write.mode(SaveMode.Overwrite).parquet(s"$out/extracted")
+    val wallSec = (System.nanoTime() - t0) / 1e9
+
+    val audit = Pipeline.auditRows(acc)
+    spark.createDataset(audit).coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(s"$out/audit")
+
+    val nDocs = audit.map(_.docs).sum
+    val nSpans = audit.map(r => r.spans_html + r.spans_pdf + r.spans_image).sum
+    println(f"[graft] docs=$nDocs spans=$nSpans wall=$wallSec%.2fs " +
+      f"throughput=${nDocs / wallSec}%.1f docs/s partitions=${audit.size}")
+    spark.stop()
+  }
+}
