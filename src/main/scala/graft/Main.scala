@@ -68,19 +68,46 @@ object Main {
     }
 
     val t0 = System.nanoTime()
-    val acc = Pipeline.auditAccumulator(spark)
-    val extracted = Pipeline.extract(docs, cfg, snapshotId = 1L, audit = acc)
-    extracted.write.mode(SaveMode.Overwrite).parquet(s"$out/extracted")
-    val wallSec = (System.nanoTime() - t0) / 1e9
-
-    val audit = Pipeline.auditRows(acc)
-    spark.createDataset(audit).coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(s"$out/audit")
-
-    val nDocs = audit.map(_.docs).sum
-    val nSpans = audit.map(r => r.spans_html + r.spans_pdf + r.spans_image).sum
-    println(f"[graft] docs=$nDocs spans=$nSpans wall=$wallSec%.2fs " +
-      f"throughput=${nDocs / wallSec}%.1f docs/s partitions=${audit.size}")
+    opts.get("buckets").map(_.toInt) match {
+      case Some(nBuckets) =>
+        // resumable snapshot mode: out/ is a SnapshotStore table root
+        val store = new graft.snapshot.SnapshotStore(out)
+        val maxBuckets = opts.get("max-buckets").map(_.toInt).getOrElse(-1)
+        val genN = opts.get("gen").map(_.toLong)
+        val bucketInput: Int => Dataset[Doc] = genN match {
+          case Some(n) =>
+            val genCfg = CorpusGen.GenConfig(
+              markdown = cfg.format == OutFormat.Markdown,
+              megaEvery = opts.get("mega-every").map(_.toLong).getOrElse(0L))
+            val per = (n + nBuckets - 1) / nBuckets
+            b => spark.range(b * per, math.min((b + 1) * per, n))
+              .mapPartitions(_.map(i =>
+                CorpusGen.genDoc(CorpusGen.DefaultSeed, i, genCfg).input))
+          case None =>
+            import org.apache.spark.sql.functions.{hash, pmod, lit}
+            b => docs.filter(
+              pmod(hash(docs("doc_id")), lit(nBuckets)) === lit(b))
+        }
+        val (ran, nd) = Job.runResumable(spark, store, nBuckets,
+          bucketInput, cfg, maxBuckets)
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        println(f"[graft] resumable: buckets_run=$ran docs=$nd " +
+          f"committed=${store.committedBuckets.size}/$nBuckets " +
+          f"snapshot=${store.latest.map(_.snapshot_id).getOrElse(0L)} " +
+          f"wall=$wallSec%.2fs")
+      case None =>
+        val acc = Pipeline.auditAccumulator(spark)
+        val extracted = Pipeline.extract(docs, cfg, snapshotId = 1L, audit = acc)
+        extracted.write.mode(SaveMode.Overwrite).parquet(s"$out/extracted")
+        val wallSec = (System.nanoTime() - t0) / 1e9
+        val audit = Pipeline.auditRows(acc)
+        spark.createDataset(audit).coalesce(1)
+          .write.mode(SaveMode.Overwrite).parquet(s"$out/audit")
+        val nDocs = audit.map(_.docs).sum
+        val nSpans = audit.map(r => r.spans_html + r.spans_pdf + r.spans_image).sum
+        println(f"[graft] docs=$nDocs spans=$nSpans wall=$wallSec%.2fs " +
+          f"throughput=${nDocs / wallSec}%.1f docs/s partitions=${audit.size}")
+    }
     spark.stop()
   }
 }

@@ -1,0 +1,122 @@
+package graft.snapshot
+
+import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/** Minimal Iceberg-style snapshot table layout (from scratch — no Iceberg
+  * jar exists in the offline environment, SURVEY.md §7.2; the real
+  * format's concepts are public: immutable data files + manifest +
+  * atomic snapshot commit + time-travel by snapshot id).
+  *
+  * Layout:
+  *   root/
+  *     data/<bucket>-<writeId>/part-*.parquet   immutable bucket outputs
+  *     audit/<bucket>-<writeId>/part-*.parquet  lineage+metrics rows
+  *     snapshots/snapshot-%010d.json            commit log (atomic rename)
+  *
+  * A snapshot lists every committed bucket with its data/audit dirs.
+  * Commit protocol (plain-FS safe):
+  *   1. writer writes parquet into a fresh uuid-suffixed dir (never
+  *      reused — idempotent retries just produce an orphan dir);
+  *   2. snapshot JSON is written to a temp file and atomically renamed
+  *      to snapshots/snapshot-<n+1>.json (first writer wins; rename
+  *      fails if the target exists → caller re-reads and retries).
+  * Resume = read latest snapshot, skip its committed buckets
+  * (north_rule: "checkpoint/resume by committed snapshot so a killed
+  * run restarts at the last completed partition set").
+  *
+  * The reference's analog is the per-file JSON result sink + batch meta
+  * (use_api/batch_processor.py:130-162) — here hardened into an atomic,
+  * resumable table commit.
+  */
+final case class BucketEntry(bucket: Int, dataDir: String, auditDir: String,
+    docs: Long)
+
+final case class Snapshot(snapshot_id: Long, parent_id: Long,
+    buckets: Seq[BucketEntry]) {
+  def committedBuckets: Set[Int] = buckets.map(_.bucket).toSet
+}
+
+class SnapshotStore(val root: String) {
+  private val mapper = new ObjectMapper()
+    .registerModule(DefaultScalaModule)
+    .configure(DeserializationFeature.FAIL_ON_UNKNOWN_PROPERTIES, false)
+
+  private def snapDir: Path = Paths.get(root, "snapshots")
+  Files.createDirectories(snapDir)
+  Files.createDirectories(Paths.get(root, "data"))
+  Files.createDirectories(Paths.get(root, "audit"))
+
+  private def snapPath(id: Long): Path =
+    snapDir.resolve(f"snapshot-$id%010d.json")
+
+  def latest: Option[Snapshot] = {
+    val ids = Files.list(snapDir).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+      }.toSeq
+    if (ids.isEmpty) None
+    else Some(readSnapshot(ids.max))
+  }
+
+  def readSnapshot(id: Long): Snapshot =
+    mapper.readValue(Files.readAllBytes(snapPath(id)), classOf[Snapshot])
+
+  def committedBuckets: Set[Int] =
+    latest.map(_.committedBuckets).getOrElse(Set.empty)
+
+  /** Fresh write location for a bucket attempt (never reused). */
+  def newWriteDirs(bucket: Int): (String, String) = {
+    val id = java.util.UUID.randomUUID().toString.take(8)
+    (s"$root/data/$bucket-$id", s"$root/audit/$bucket-$id")
+  }
+
+  /** Atomically commit a bucket's written dirs as a new snapshot.
+    * Retries on snapshot-id races (two writers committing different
+    * buckets concurrently both succeed, in some order); committing an
+    * already-committed bucket is rejected (duplicate-partition guard).
+    */
+  def commit(bucket: Int, dataDir: String, auditDir: String,
+      docs: Long): Snapshot = {
+    var attempts = 0
+    while (true) {
+      attempts += 1
+      val parent = latest
+      val parentBuckets = parent.map(_.buckets).getOrElse(Seq.empty)
+      require(!parentBuckets.exists(_.bucket == bucket),
+        s"bucket $bucket already committed — duplicate partition write")
+      val next = Snapshot(
+        parent.map(_.snapshot_id + 1).getOrElse(1L),
+        parent.map(_.snapshot_id).getOrElse(0L),
+        parentBuckets :+ BucketEntry(bucket, dataDir, auditDir, docs))
+      val tmp = Files.createTempFile(snapDir, ".tmp-snap", ".json")
+      Files.write(tmp, mapper.writeValueAsBytes(next))
+      try {
+        Files.move(tmp, snapPath(next.snapshot_id),
+          StandardCopyOption.ATOMIC_MOVE)
+        return next
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          Files.deleteIfExists(tmp) // lost the race — re-read and retry
+          if (attempts > 100) sys.error("snapshot commit livelock")
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Paths of committed data dirs at the latest (or given) snapshot —
+    * feed to spark.read.parquet. Empty when no snapshot exists.
+    */
+  def dataPaths(snapshotId: Option[Long] = None): Seq[String] = {
+    val snap = snapshotId.map(readSnapshot).orElse(latest)
+    snap.map(_.buckets.map(_.dataDir)).getOrElse(Seq.empty)
+  }
+
+  def auditPaths(snapshotId: Option[Long] = None): Seq[String] = {
+    val snap = snapshotId.map(readSnapshot).orElse(latest)
+    snap.map(_.buckets.map(_.auditDir)).getOrElse(Seq.empty)
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import graft.data.CorpusGen
+import graft.model._
+import graft.snapshot.SnapshotStore
+import java.nio.file.Files
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Checkpoint/resume via committed snapshots (north_rule): a run killed
+  * after k buckets restarts at the last committed bucket set; the final
+  * table equals the uninterrupted run's table with no duplicated
+  * partitions.
+  */
+class ResumeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  private val N = 200
+  private val B = 4
+
+  private def bucketInput(b: Int) = {
+    import spark.implicits._
+    val per = N / B
+    spark.range(b.toLong * per, (b + 1).toLong * per)
+      .map(i => CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input)
+  }
+
+  test("kill after 2 of 4 buckets, resume, final table complete + exact") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap").toString
+    val store = new SnapshotStore(root)
+    val cfg = ExtractConfig(partitions = 4)
+
+    // first run "killed" after 2 buckets
+    val (ran1, _) = Job.runResumable(spark, store, B, bucketInput, cfg, maxBuckets = 2)
+    assert(ran1 == 2)
+    assert(store.committedBuckets == Set(0, 1))
+    assert(store.latest.get.snapshot_id == 2L)
+
+    // restart: a fresh store handle resumes from the commit log
+    val store2 = new SnapshotStore(root)
+    val (ran2, _) = Job.runResumable(spark, store2, B, bucketInput, cfg)
+    assert(ran2 == 2)
+    assert(store2.committedBuckets == Set(0, 1, 2, 3))
+
+    // third run is a no-op (idempotent)
+    val (ran3, _) = Job.runResumable(spark, store2, B, bucketInput, cfg)
+    assert(ran3 == 0)
+
+    // final table: every doc exactly once, equal to expected goldens
+    val table = Job.readExtracted(spark, store2)
+    assert(table.count() == N.toLong)
+    assert(table.groupBy($"doc_id").count().filter($"count" =!= 1).count() == 0)
+    val expected = CorpusGen.goldens(N).map(_.expected)
+    val a = table.select($"doc_id", org.apache.spark.sql.functions.explode($"spans").as("s"))
+    val e = expected.toDS().select($"doc_id", org.apache.spark.sql.functions.explode($"spans").as("s"))
+    assert(a.exceptAll(e).count() == 0)
+    assert(e.exceptAll(a).count() == 0)
+
+    // audit table covers all docs across snapshots
+    val audit = Job.readAudit(spark, store2)
+    assert(audit.as[AuditRow].collect().map(_.docs).sum == N.toLong)
+  }
+
+  test("duplicate bucket commit is rejected") {
+    val root = Files.createTempDirectory("graft-snap2").toString
+    val store = new SnapshotStore(root)
+    store.commit(0, s"$root/data/0-x", s"$root/audit/0-x", 1L)
+    val ex = intercept[IllegalArgumentException] {
+      store.commit(0, s"$root/data/0-y", s"$root/audit/0-y", 1L)
+    }
+    assert(ex.getMessage.contains("already committed"))
+  }
+
+  test("snapshot log is ordered and parents chain") {
+    val root = Files.createTempDirectory("graft-snap3").toString
+    val store = new SnapshotStore(root)
+    store.commit(3, "d3", "a3", 10L)
+    store.commit(1, "d1", "a1", 20L)
+    val s = store.latest.get
+    assert(s.snapshot_id == 2L && s.parent_id == 1L)
+    assert(s.buckets.map(_.bucket) == Seq(3, 1))
+    assert(store.dataPaths() == Seq("d3", "d1"))
+  }
+}
