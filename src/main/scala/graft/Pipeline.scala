@@ -8,28 +8,33 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.util.CollectionAccumulator
 import scala.collection.mutable.ArrayBuffer
 
-/** The distributed extraction pipeline (SURVEY.md §3.4):
+/** The distributed extraction pipeline (SURVEY.md §3.4), two-path:
   *
-  *   docs table
-  *     → explode(spans)                       [flatten, keeps pushdown]
-  *     → salted repartition                   [shuffle #1 — skew defense]
-  *     → typed mapPartitions extract          [per-kind routing, pure]
-  *     → repartition(doc_id)
-  *       + sortWithinPartitions(doc_id, offset)  [shuffle #2]
-  *     → streaming group-merge (mapPartitions)   [reassembly]
-  *     → Dataset[ExtractedDoc]
+  * FUSED PATH (docs with <= saltThreshold spans — virtually the whole
+  * corpus):
+  *   docs → typed mapPartitions over Dataset[Doc]:
+  *            per doc: extract every span, sort by offset, reassemble
+  *   ZERO shuffles. Explode + salt + reassembly are provably fusible for
+  *   a doc whose spans fit one task: every span of the doc is already
+  *   co-located in its input row, so the shuffle round-trip would move
+  *   bytes only to bring them back together. saltThreshold bounds the
+  *   per-task working set.
   *
-  * Scale posture: the only two shuffles are the salt and the reassembly.
-  * The salt key is hash(doc_id, offset / chunkSpans) — a mega-document's
-  * spans are spread over ceil(n/chunk) partitions during the (CPU-heavy)
-  * extract stage, so one 10^6-span document cannot stall a single task
-  * (north_rule: "salted repartitioning on doc_id hash to defuse skew from
-  * mega-documents"). Reassembly necessarily co-locates one doc's spans
-  * (the output row is the per-doc span array) but by then the heavy
-  * string work is done; the secondary sort (sortWithinPartitions on
-  * (doc_id, offset)) lets the group-merge stream without holding an
-  * unsorted buffer (north_star's sortWithinPartitions + groupByKey shape,
-  * implemented as the equivalent sort-based streaming merge).
+  * SALTED PATH (mega-docs above the threshold — the skew tail):
+  *   explode(spans)
+  *     → salted repartition on hash(doc_id, offset/chunkSpans)
+  *       [shuffle #1 — spreads one 10^6-span doc over ceil(n/chunk)
+  *        partitions for the CPU-heavy extract stage; north_rule's
+  *        "salted repartitioning on doc_id hash to defuse skew"]
+  *     → typed mapPartitions extract
+  *     → repartition(doc_id) + sortWithinPartitions(doc_id, offset)
+  *       [shuffle #2 — secondary sort so the group-merge streams]
+  *     → streaming group-merge reassembly.
+  *
+  * The two branches are unioned; both run in one Spark job. At 10^12-doc
+  * scale the split predicate (size(spans) > t) is evaluated scan-side;
+  * a production table would additionally band its partitioning by span
+  * count so each branch prunes instead of re-scanning.
   *
   * Extractor state is amortized per partition via mapPartitions
   * (north_star; reference analog: lazy model loading
@@ -78,19 +83,58 @@ object Pipeline {
     }
   }
 
+  /** Per-partition audit metric counters + finalizing iterator wrapper
+    * (emits exactly one AuditRow after the last row of the partition).
+    */
+  private final class AuditCollector(snapshotId: Long,
+      audit: CollectionAccumulator[AuditRow]) extends Serializable {
+    private val t0 = System.nanoTime()
+    var docs = 0L
+    var nHtml = 0L; var nPdf = 0L; var nImage = 0L
+    var bytesIn = 0L; var bytesOut = 0L
+    var docMin: String = null; var docMax: String = null
+
+    def seeSpanKind(kind: String): Unit = kind match {
+      case "html"  => nHtml += 1
+      case "pdf"   => nPdf += 1
+      case "image" => nImage += 1
+      case _       => ()
+    }
+
+    def seeDoc(docId: String): Unit = {
+      docs += 1
+      if (docMin == null || docId < docMin) docMin = docId
+      if (docMax == null || docId > docMax) docMax = docId
+    }
+
+    def wrap(out: Iterator[ExtractedDoc]): Iterator[ExtractedDoc] =
+      new Iterator[ExtractedDoc] {
+        private var finalized = false
+        override def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && !finalized) {
+            finalized = true
+            if (audit != null && docs > 0) { // empty partitions: no lineage
+              val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(-1)
+              audit.add(AuditRow(snapshotId, pid, docMin, docMax, docs,
+                nHtml, nPdf, nImage, bytesIn, bytesOut,
+                (System.nanoTime() - t0) / 1000000L, "committed"))
+            }
+          }
+          h
+        }
+        override def next(): ExtractedDoc = out.next()
+      }
+  }
+
   /** Reassemble sorted (doc_id, offset) rows into per-doc output rows,
     * streaming one group at a time. Optionally records one audit row per
     * partition into `audit` (lineage + metrics, FIXTURES.md §3).
     */
   private def reassemble(it: Iterator[ExRow], snapshotId: Long,
       audit: CollectionAccumulator[AuditRow]): Iterator[ExtractedDoc] = {
-    val t0 = System.nanoTime()
-    var docs = 0L
-    var nHtml = 0L; var nPdf = 0L; var nImage = 0L
-    var bytesIn = 0L; var bytesOut = 0L
-    var docMin: String = null; var docMax: String = null
+    val ac = new AuditCollector(snapshotId, audit)
     val buf = it.buffered
-
     val out = new Iterator[ExtractedDoc] {
       override def hasNext: Boolean = buf.hasNext
       override def next(): ExtractedDoc = {
@@ -101,44 +145,55 @@ object Pipeline {
         while (buf.hasNext && buf.head.doc_id == docId) {
           val r = buf.next()
           spansIn = r.spans_in
-          bytesIn += r.in_len
-          r.kind match {
-            case "html"  => nHtml += 1
-            case "pdf"   => nPdf += 1
-            case "image" => nImage += 1
-            case _       => ()
-          }
+          ac.bytesIn += r.in_len
+          ac.seeSpanKind(r.kind)
           if (r.err != null && err == null) err = r.err
           if (r.text != null && r.text.nonEmpty) {
             outs += OutSpan(r.kind, r.text, r.media_ref, outs.length)
-            bytesOut += r.text.length
+            ac.bytesOut += r.text.length
           }
         }
-        docs += 1
-        if (docMin == null || docId < docMin) docMin = docId
-        if (docMax == null || docId > docMax) docMax = docId
+        ac.seeDoc(docId)
         ExtractedDoc(docId, outs.toSeq, spansIn, err == null, err)
       }
     }
+    ac.wrap(out)
+  }
 
-    // Wrap so the audit row is emitted exactly once, after the last group.
-    new Iterator[ExtractedDoc] {
-      private var finalized = false
-      override def hasNext: Boolean = {
-        val h = out.hasNext
-        if (!h && !finalized) {
-          finalized = true
-          if (audit != null) {
-            val pid = Option(TaskContext.get()).map(_.partitionId()).getOrElse(-1)
-            audit.add(AuditRow(snapshotId, pid, docMin, docMax, docs,
-              nHtml, nPdf, nImage, bytesIn, bytesOut,
-              (System.nanoTime() - t0) / 1000000L, "committed"))
+  /** Fused zero-shuffle path: extract + reassemble one doc at a time,
+    * entirely inside a typed mapPartitions over Dataset[Doc]. Correct for
+    * any doc whose spans fit in one task (enforced by saltThreshold).
+    */
+  private def extractFused(it: Iterator[Doc], fmt: OutFormat,
+      snapshotId: Long,
+      audit: CollectionAccumulator[AuditRow]): Iterator[ExtractedDoc] = {
+    val ac = new AuditCollector(snapshotId, audit)
+    val out = it.map { d =>
+      val sorted =
+        if (d.spans.isEmpty) d.spans
+        else d.spans.sortBy(_.offset)
+      val outs = new ArrayBuffer[OutSpan]()
+      var err: String = null
+      sorted.foreach { sp =>
+        ac.seeSpanKind(sp.kind)
+        if (sp.text != null) ac.bytesIn += sp.text.length
+        try {
+          val e = Extractor.extractSpan(
+            SpanRow(d.doc_id, sp.kind, sp.text, sp.media_ref, sp.offset), fmt)
+          if (e.text.nonEmpty) {
+            outs += OutSpan(e.kind, e.text, e.media_ref, outs.length)
+            ac.bytesOut += e.text.length
           }
+        } catch {
+          case t: Throwable =>
+            if (err == null)
+              err = s"${t.getClass.getSimpleName}: ${t.getMessage}"
         }
-        h
       }
-      override def next(): ExtractedDoc = out.next()
+      ac.seeDoc(d.doc_id)
+      ExtractedDoc(d.doc_id, outs.toSeq, d.spans.size, err == null, err)
     }
+    ac.wrap(out)
   }
 
   /** Full pipeline. When `audit` is non-null, one AuditRow per reassembly
@@ -155,7 +210,14 @@ object Pipeline {
       else spark.sessionState.conf.numShufflePartitions
     val fmt = cfg.format
 
-    val flat = flatten(docs)
+    // fused zero-shuffle path for everything but the mega-doc skew tail
+    val light = docs.filter(size($"spans") <= cfg.saltThreshold)
+      .as[Doc]
+      .mapPartitions(it => extractFused(it, fmt, snapshotId, audit))
+
+    // salted explode/shuffle path for mega-docs
+    val heavyDocs = docs.filter(size($"spans") > cfg.saltThreshold)
+    val flat = flatten(heavyDocs)
     // shuffle #1: salted — spreads a mega-doc's spans across partitions
     val salted = flat.repartition(parts,
       hash($"doc_id", floor($"offset" / lit(cfg.chunkSpans))))
@@ -163,11 +225,13 @@ object Pipeline {
       .as[InRow]
       .mapPartitions(it => it.map(extractRow(_, fmt)))
     // shuffle #2: co-locate + secondary-sort, then stream-merge per doc
-    extracted
+    val heavy = extracted
       .repartition(parts, $"doc_id")
       .sortWithinPartitions($"doc_id", $"offset")
       .as[ExRow]
       .mapPartitions(it => reassemble(it, snapshotId, audit))
+
+    light.unionByName(heavy)
   }
 
   /** Register an audit accumulator on the session. */
@@ -178,11 +242,14 @@ object Pipeline {
   }
 
   /** Collapse possibly-duplicated accumulator entries (task retries) to
-    * one row per partition id — last writer wins.
+    * one row per (partition, doc range) — last writer wins. The doc_id_min
+    * component keeps the fused-path and salted-path rows for the same
+    * partition id distinct (a doc lives in exactly one path).
     */
   def auditRows(acc: CollectionAccumulator[AuditRow]): Seq[AuditRow] = {
     import scala.jdk.CollectionConverters._
-    acc.value.asScala.groupBy(_.partition_id).map(_._2.last).toSeq
-      .sortBy(_.partition_id)
+    acc.value.asScala.groupBy(r => (r.partition_id, r.doc_id_min))
+      .map(_._2.last).toSeq
+      .sortBy(r => (r.partition_id, r.doc_id_min))
   }
 }

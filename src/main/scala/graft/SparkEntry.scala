@@ -1,13 +1,470 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.data.CorpusGen
+import graft.functions.TextFunctions
+import graft.operators.{Dedup, Media, Similarity}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract (SURVEY.md §7): `queries` = one entry per operator
+  * family from SURVEY.md §2 + the training-data-pipeline operators;
+  * `oracleSql` = DuckDB-equivalent SQL over the same parquet tables for
+  * every SQL-expressible query.
+  *
+  * Determinism discipline (driver compares row/schema/value hashes):
+  *   - every query and oracle ends in an explicit ORDER BY;
+  *   - double aggregations go through exact DECIMAL sums first, then one
+  *     final cast+round — both engines produce bit-identical doubles;
+  *   - all computed columns are aliased identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Exact decimal sum of a double column, emitted as rounded double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    round(sum(c.cast("decimal(20,4)")).cast("double"), scale)
+
+  /** Flagship: full extraction pipeline over a generated interleaved
+    * corpus (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val docs = spark.range(0, 200).mapPartitions(_.map(i =>
+      CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+    Pipeline.extract(docs, graft.model.ExtractConfig(partitions = 8))
+      .toDF().orderBy("doc_id")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ----------------------------------------------------- relational core
+    "q1_pricing_summary" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          round(sum($"l_extendedprice".cast("decimal(20,4)") *
+            (lit(1) - $"l_discount".cast("decimal(10,4)")))
+            .cast("double"), 2).as("sum_disc_price"),
+          round(sum($"l_discount".cast("decimal(10,4)")).cast("double") /
+            count(lit(1)), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy($"l_returnflag", $"l_linestatus")
+    }),
+
+    "q2_filter_pushdown" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "lineitem")
+        .filter($"l_shipdate" >= lit("1996-06-01").cast("timestamp") &&
+          $"l_quantity" > 45)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_extendedprice")
+        .orderBy($"l_orderkey", $"l_linenumber")
+    }),
+
+    "q3_revenue_by_nation" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, $"l_orderkey" === $"o_orderkey")
+        .join(c, $"o_custkey" === $"c_custkey")
+        .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
+        .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"r_name", $"n_name")
+        .agg(
+          round(sum($"l_extendedprice".cast("decimal(20,4)") *
+            (lit(1) - $"l_discount".cast("decimal(10,4)")))
+            .cast("double"), 2).as("revenue"),
+          countDistinct($"o_orderkey").as("n_orders"))
+        .orderBy($"r_name", $"n_name")
+    }),
+
+    "q4_topk_orders" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(round(sum($"l_extendedprice".cast("decimal(20,4)") *
+          (lit(1) - $"l_discount".cast("decimal(10,4)")))
+          .cast("double"), 2).as("revenue"))
+      rev.join(t(s, dir, "orders"), $"l_orderkey" === $"o_orderkey")
+        .select($"l_orderkey".as("orderkey"), $"o_orderpriority", $"revenue")
+        .orderBy($"revenue".desc, $"orderkey")
+        .limit(10)
+    }),
+
+    "q5_window_top3" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"l_returnflag")
+        .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
+      t(s, dir, "lineitem")
+        .withColumn("rk", row_number().over(w))
+        .filter($"rk" <= 3)
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice", $"rk")
+        .orderBy($"l_returnflag", $"rk")
+    }),
+
+    "q6_semi_anti" -> ((s, dir) => {
+      import s.implicits._
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val semi = c.join(o, $"c_custkey" === $"o_custkey", "left_semi")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_with_orders"))
+      val anti = c.join(o, $"c_custkey" === $"o_custkey", "left_anti")
+        .groupBy($"c_mktsegment").agg(count(lit(1)).as("n_without_orders"))
+      semi.join(anti, Seq("c_mktsegment"), "full_outer")
+        .na.fill(0, Seq("n_with_orders", "n_without_orders"))
+        .orderBy($"c_mktsegment")
+    }),
+
+    "q7_events_hourly" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .groupBy(date_trunc("hour", $"ts").as("hour"), $"event_type")
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast("decimal(20,6)")).cast("double"), 4)
+            .as("sum_value"))
+        .orderBy($"hour", $"event_type")
+    }),
+
+    "q8_events_props" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1)
+          .cast("int"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n_k"),
+          round(sum($"k").cast("double") / count($"k"), 4).as("avg_k"))
+        .orderBy($"event_type")
+    }),
+
+    // ------------------------------------ extraction-semantics analogs
+    "x1_markdown_decorate" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id",
+          when($"n_chars" < 100, concat(lit("# "), trim($"text")))
+            .otherwise(trim($"text")).as("decorated"))
+        .orderBy($"doc_id")
+    }),
+
+    "x2_combine_by_lang" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"lang", $"doc_id", TextFunctions.normText($"text").as("nt"))
+        .groupBy($"lang")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"doc_id", $"nt"))),
+            x => x.getField("nt")), "\n\n").as("combined"))
+        .orderBy($"lang")
+    }),
+
+    "x3_tolerant_compare" -> ((s, dir) => {
+      import s.implicits._
+      val rev = t(s, dir, "lineitem")
+        .groupBy($"l_orderkey")
+        .agg(sum($"l_extendedprice".cast("decimal(20,4)") *
+          (lit(1) - $"l_discount".cast("decimal(10,4)"))).as("rev"))
+      t(s, dir, "orders")
+        .join(rev, $"o_orderkey" === $"l_orderkey")
+        .select($"o_orderkey",
+          (abs($"o_totalprice" - $"rev".cast("double")) < 0.01).as("matched"))
+        .orderBy($"o_orderkey")
+    }),
+
+    // ------------------------------------------------------ text analysis
+    "t1_token_stats" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", length($"text").as("n_chars"),
+          TextFunctions.tokenCount($"text").as("n_tokens"))
+        .orderBy($"doc_id")
+    }),
+
+    "t2_quality" -> ((s, dir) => {
+      import s.implicits._
+      val txt = $"text"
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextFunctions.alphaChars(txt).as("alpha"),
+          TextFunctions.digitChars(txt).as("digits"),
+          TextFunctions.punctChars(txt).as("punct"),
+          TextFunctions.qualityScore(txt).as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    "t3_langid" -> ((s, dir) => {
+      import s.implicits._
+      val txt = $"text"
+      t(s, dir, "documents")
+        .select($"doc_id",
+          TextFunctions.langScore(txt, TextFunctions.EnMarkers).as("s_en"),
+          TextFunctions.langScore(txt, TextFunctions.DeMarkers).as("s_de"),
+          TextFunctions.langScore(txt, TextFunctions.FrMarkers).as("s_fr"),
+          TextFunctions.langScore(txt, TextFunctions.EsMarkers).as("s_es"),
+          TextFunctions.langGuess(txt).as("guess"))
+        .orderBy($"doc_id")
+    }),
+
+    "t4_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // ------------------------------------------------------------- dedup
+    "d1_exact_dedup" -> ((s, dir) => {
+      Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy("fp")
+    }),
+
+    "d2_ngram_jaccard" -> ((s, dir) => {
+      Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, minJ = 0.5)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d3_minhash_neardups" -> ((s, dir) => { // no SQL oracle (LSH)
+      Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+          n = 3, perms = 64, bands = 16, minJ = 0.2)
+        .orderBy("id_a", "id_b")
+    }),
+
+    "d4_simhash_neardups" -> ((s, dir) => { // no SQL oracle (signatures)
+      Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
+          maxHamming = 12)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // -------------------------------------------------------- similarity
+    "s1_cosine_topk" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+          "embedding", "vec_id", k = 10)
+        .orderBy("query_id", "rk")
+    }),
+
+    "s2_ann_lsh" -> ((s, dir) => { // no SQL oracle (LSH path)
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.lshTopK(emb, emb.filter($"vec_id" < 3),
+          "embedding", "vec_id", k = 10, planes = 6)
+        .orderBy("query_id", "rk")
+    }),
+
+    "e1_embedding_norms" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "embeddings")
+        .select($"vec_id", size($"embedding").as("dim"),
+          round(Similarity.l2Norm($"embedding"), 4).as("l2"))
+        .orderBy($"vec_id")
+    }),
+
+    // -------------------------------------------------------- multimodal
+    "m1_media_meta" -> ((s, dir) => {
+      import s.implicits._
+      Media.extractMeta(
+          Media.withPayload(t(s, dir, "documents"), "text"),
+          "doc_id", "payload")
+        .select($"doc_id", $"width", $"height", $"channels", $"n_bytes")
+        .orderBy($"doc_id")
+    }),
+
+    // -------------------------------------------------------- extraction
+    "p1_extract_pipeline" -> ((s, dir) => { // no SQL oracle (pipeline)
+      import s.implicits._
+      val docs = s.range(0, 300).mapPartitions(_.map(i =>
+        CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+      Pipeline.extract(docs, graft.model.ExtractConfig(partitions = 8))
+        .toDF()
+        .select($"doc_id", size($"spans").as("n_spans"), $"spans_in",
+          $"success")
+        .orderBy($"doc_id")
+    }))
+
+  private val norm =
+    "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+  private def discRev =
+    "CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+         round(CAST(sum(CAST(l_quantity AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_qty,
+         round(CAST(sum(CAST(l_extendedprice AS DECIMAL(20,4))) AS DOUBLE), 2) AS sum_base_price,
+         round(CAST(sum($discRev) AS DOUBLE), 2) AS sum_disc_price,
+         round(CAST(sum(CAST(l_discount AS DECIMAL(10,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+         count(*) AS count_order
+         FROM lineitem GROUP BY l_returnflag, l_linestatus
+         ORDER BY l_returnflag, l_linestatus""",
+
+    "q2_filter_pushdown" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-06-01' AND l_quantity > 45
+         ORDER BY l_orderkey, l_linenumber""",
+
+    "q3_revenue_by_nation" ->
+      s"""SELECT r_name, n_name,
+         round(CAST(sum($discRev) AS DOUBLE), 2) AS revenue,
+         count(DISTINCT o_orderkey) AS n_orders
+         FROM lineitem
+         JOIN orders ON l_orderkey = o_orderkey
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+
+    "q4_topk_orders" ->
+      s"""SELECT l_orderkey AS orderkey, o_orderpriority,
+         round(CAST(sum($discRev) AS DOUBLE), 2) AS revenue
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY l_orderkey, o_orderpriority
+         ORDER BY revenue DESC, orderkey LIMIT 10""",
+
+    "q5_window_top3" ->
+      """SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice, rk
+         FROM (SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice,
+                 row_number() OVER (PARTITION BY l_returnflag
+                   ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) AS rk
+               FROM lineitem) WHERE rk <= 3
+         ORDER BY l_returnflag, rk""",
+
+    "q6_semi_anti" ->
+      """SELECT c_mktsegment,
+         count(*) FILTER (WHERE ex) AS n_with_orders,
+         count(*) FILTER (WHERE NOT ex) AS n_without_orders
+         FROM (SELECT c_mktsegment,
+                 EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey) AS ex
+               FROM customer)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+
+    "q7_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+         round(CAST(sum(CAST(value AS DECIMAL(20,6))) AS DOUBLE), 4) AS sum_value
+         FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "q8_events_props" ->
+      """SELECT event_type, count(k) AS n_k,
+         round(CAST(sum(k) AS DOUBLE) / count(k), 4) AS avg_k
+         FROM (SELECT event_type,
+                 TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
+               FROM events)
+         GROUP BY event_type ORDER BY event_type""",
+
+    "x1_markdown_decorate" ->
+      """SELECT doc_id,
+         CASE WHEN n_chars < 100 THEN '# ' || trim(text) ELSE trim(text) END AS decorated
+         FROM documents ORDER BY doc_id""",
+
+    "x2_combine_by_lang" ->
+      s"""SELECT lang, string_agg(nt, chr(10) || chr(10) ORDER BY doc_id) AS combined
+         FROM (SELECT lang, doc_id, $norm AS nt FROM documents)
+         GROUP BY lang ORDER BY lang""",
+
+    "x3_tolerant_compare" ->
+      s"""SELECT o_orderkey,
+         (abs(o_totalprice - CAST(rev AS DOUBLE)) < 0.01) AS matched
+         FROM orders JOIN
+           (SELECT l_orderkey, sum($discRev) AS rev
+            FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
+         ORDER BY o_orderkey""",
+
+    "t1_token_stats" ->
+      """SELECT doc_id, length(text) AS n_chars,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
+         FROM documents ORDER BY doc_id""",
+
+    "t2_quality" ->
+      """SELECT doc_id,
+         length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS alpha,
+         length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS digits,
+         length(text) - length(regexp_replace(text, '[!-/:-@\[-`{-~]', '', 'g')) AS punct,
+         round(
+           ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / (length(text) + 1))
+           * (1 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / (length(text) + 1))
+           * least(len(regexp_extract_all(text, '[A-Za-z0-9]+')) / 20.0, 1.0), 4) AS quality
+         FROM documents ORDER BY doc_id""",
+
+    "t3_langid" ->
+      s"""WITH p AS (SELECT doc_id, ' ' || $norm || ' ' AS pt FROM documents),
+         sc AS (SELECT doc_id,
+           (CASE WHEN pt LIKE '% the %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% a %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% of %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% and %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% is %' THEN 1 ELSE 0 END) AS s_en,
+           (CASE WHEN pt LIKE '% der %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% die %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% das %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% und %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+           (CASE WHEN pt LIKE '% le %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% la %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% et %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% est %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% les %' THEN 1 ELSE 0 END) AS s_fr,
+           (CASE WHEN pt LIKE '% el %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% los %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% y %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% es %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% una %' THEN 1 ELSE 0 END) AS s_es
+           FROM p)
+         SELECT doc_id, s_en, s_de, s_fr, s_es,
+           CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'unknown'
+                WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+                WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+                WHEN s_fr >= s_es THEN 'fr'
+                ELSE 'es' END AS guess
+         FROM sc ORDER BY doc_id""",
+
+    "t4_fingerprint" ->
+      s"""SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id""",
+
+    "d1_exact_dedup" ->
+      s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY fp""",
+
+    "d2_ngram_jaccard" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b,
+           round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+         FROM pairs
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.5
+         ORDER BY id_a, id_b""",
+
+    "s1_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                    FROM embeddings WHERE vec_id < 3),
+         scored AS (
+           SELECT query_id, e.vec_id,
+             round(list_dot_product(qv, CAST(e.embedding AS DOUBLE[])) /
+               (sqrt(list_dot_product(qv, qv)) *
+                sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS score
+           FROM embeddings e, q WHERE e.vec_id <> query_id),
+         ranked AS (
+           SELECT query_id, vec_id, score,
+             row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id) AS rk
+           FROM scored)
+         SELECT query_id, vec_id, score, rk FROM ranked WHERE rk <= 10
+         ORDER BY query_id, rk""",
+
+    "e1_embedding_norms" ->
+      """SELECT vec_id, len(embedding) AS dim,
+         round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4) AS l2
+         FROM embeddings ORDER BY vec_id""",
+
+    "m1_media_meta" ->
+      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         octet_length(encode(text)) % 640 + 16 AS width,
+         octet_length(encode(text)) % 480 + 16 AS height,
+         octet_length(encode(text)) % 3 + 1 AS channels,
+         octet_length(encode(text)) AS n_bytes
+         FROM documents ORDER BY 1""")
 }

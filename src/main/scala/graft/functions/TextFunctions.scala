@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis Column builders for large-scale training-data pipelines.
+  * All pure Catalyst expressions (codegen'd, no UDFs) so they stay inside
+  * whole-stage codegen and push down/prune like built-ins.
+  */
+object TextFunctions {
+
+  /** Whitespace-canonicalized lowercase text (dedup normalization). */
+  def normText(c: Column): Column =
+    lower(regexp_replace(trim(c), "\\s+", " "))
+
+  /** Document fingerprint = md5 of normalized text (exact-dup key). */
+  def fingerprint(c: Column): Column = md5(normText(c))
+
+  /** Whitespace token array of normalized text. */
+  def tokens(c: Column): Column = split(normText(c), " ")
+
+  /** Token count via a BPE-ish word/number regex (alnum runs). */
+  def tokenCount(c: Column): Column = regexp_count(c, lit("[A-Za-z0-9]+"))
+
+  /** Character-class counts (quality-scoring inputs). */
+  def alphaChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
+  def digitChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, "[0-9]", ""))
+  def punctChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, """[!-/:-@\[-`{-~]""", ""))
+  def spaceChars(c: Column): Column =
+    length(c) - length(regexp_replace(c, """\s""", ""))
+
+  /** Deterministic quality score in [0,1]:
+    * alpha_ratio * (1 - digit_ratio) * min(tokens/20, 1), rounded.
+    * (length/punct/stopword-ratio family — reference-free heuristic.)
+    */
+  def qualityScore(c: Column): Column = {
+    val len = length(c) + lit(1)
+    val alphaRatio = alphaChars(c).cast("double") / len
+    val digitRatio = digitChars(c).cast("double") / len
+    val tokFactor = least(tokenCount(c).cast("double") / lit(20.0), lit(1.0))
+    round(alphaRatio * (lit(1.0) - digitRatio) * tokFactor, 4)
+  }
+
+  /** Stopword-indicator score for one language: number of marker words
+    * present (substring match on the padded, normalized text).
+    */
+  def langScore(c: Column, markers: Seq[String]): Column = {
+    val padded = concat(lit(" "), normText(c), lit(" "))
+    markers.map(m => when(padded.contains(s" $m "), 1).otherwise(0))
+      .reduce(_ + _)
+  }
+
+  val EnMarkers = Seq("the", "a", "of", "and", "is")
+  val DeMarkers = Seq("der", "die", "das", "und", "ist")
+  val FrMarkers = Seq("le", "la", "et", "est", "les")
+  val EsMarkers = Seq("el", "los", "y", "es", "una")
+
+  /** N-gram heuristic language guess (deterministic argmax with fixed
+    * preference order en > de > fr > es > unknown on ties).
+    */
+  def langGuess(c: Column): Column = {
+    val en = langScore(c, EnMarkers)
+    val de = langScore(c, DeMarkers)
+    val fr = langScore(c, FrMarkers)
+    val es = langScore(c, EsMarkers)
+    when(en === 0 && de === 0 && fr === 0 && es === 0, lit("unknown"))
+      .when(en >= de && en >= fr && en >= es, lit("en"))
+      .when(de >= fr && de >= es, lit("de"))
+      .when(fr >= es, lit("fr"))
+      .otherwise(lit("es"))
+  }
+
+  /** Word n-gram shingle set (distinct), the unit of Jaccard similarity.
+    * Pure HOFs: sequence + transform + slice + array_join.
+    */
+  def wordShingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    // guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty
+    when(size(toks) >= n,
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling-hash document fingerprint (polynomial hash over tokens) —
+    * order-sensitive counterpart of `fingerprint`. aggregate() HOF.
+    */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => acc * lit(1000003L) + xxhash64(t))
+}

@@ -70,15 +70,21 @@ object OutFormat {
   *
   * @param format        plain | markdown (title decoration)
   * @param partitions    target shuffle parallelism (0 = leave to session)
-  * @param chunkSpans    salt granularity: spans of one doc are spread over
-  *                      ceil(nSpans / chunkSpans) partitions during the
-  *                      extract stage, defusing mega-document skew
+  * @param chunkSpans    salt granularity: spans of one mega-doc are spread
+  *                      over ceil(nSpans / chunkSpans) partitions during
+  *                      the extract stage, defusing mega-document skew
   *                      (north_rule "salted repartitioning on doc_id hash")
+  * @param saltThreshold docs with <= this many spans take the fused
+  *                      zero-shuffle path (extract + reassemble inside one
+  *                      mapPartitions over Dataset[Doc]); larger docs take
+  *                      the salted explode/shuffle path. The threshold
+  *                      bounds per-task memory for the fused path.
   */
 final case class ExtractConfig(
     format: OutFormat = OutFormat.Plain,
     partitions: Int = 0,
-    chunkSpans: Int = 1024)
+    chunkSpans: Int = 1024,
+    saltThreshold: Int = 512)
 
 /** Per-partition lineage + metrics row for the audit table
   * (FIXTURES.md §3; analog of the reference's run-metadata blocks,

@@ -1,0 +1,158 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for web-scale corpora.
+  *
+  * Scale notes (designed for 10^9+ docs):
+  *   - exact dedup: one shuffle on the md5 fingerprint — the grouping
+  *     key is 16 bytes regardless of document size.
+  *   - MinHash+LSH: signatures are computed scan-side with pure Catalyst
+  *     HOFs (no UDF, stays in codegen); only (band, bandHash) pairs are
+  *     shuffled — band count * 8 bytes per doc, never the text. Candidate
+  *     verification joins texts back only for the (tiny) candidate set.
+  *   - SimHash: 64-bit signature per doc; pairs via 4-segment blocking
+  *     (pigeonhole: hamming<=3 over 64 bits => at least one identical
+  *     16-bit segment), so the self-join key is (segment, 16-bit value).
+  *   - n-gram Jaccard: exact pairwise scores via shingle explode +
+  *     shingle-key join; intended for candidate verification or small
+  *     corpora — the LSH paths are the 100TB route.
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct normalized text.
+    * (keep = min doc id, n = group size).
+    */
+  def exactDupGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJ.
+    */
+  def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(sizes.withColumnRenamed("doc_id", "id_a")
+        .withColumnRenamed("n_sh", "na"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b")
+        .withColumnRenamed("n_sh", "nb"), "id_b")
+      .withColumn("jaccard",
+        round(col("common").cast("double") /
+          (col("na") + col("nb") - col("common")), 4))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** MinHash signature column: array of `perms` 32-bit min-hashes over
+    * the shingle set. Pure Catalyst (hash(g, seed_i) per permutation).
+    */
+  def minhashSignature(shingles: Column, perms: Int): Column =
+    array(Seq.tabulate(perms) { i =>
+      array_min(transform(shingles, g => hash(g, lit(i))))
+    }: _*)
+
+  /** MinHash+LSH near-duplicate candidate pairs, verified by exact
+    * shingle Jaccard. bands*rowsPerBand must equal perms.
+    */
+  def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, perms: Int = 64, bands: Int = 16,
+      minJ: Double = 0.5): DataFrame = {
+    val rowsPerBand = perms / bands
+    require(bands * rowsPerBand == perms, "bands must divide perms")
+    val sh = docs.select(col(idCol).as("doc_id"),
+        wordShingles(col(textCol), n).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val sig = sh.withColumn("sig", minhashSignature(col("sh"), perms))
+    // one (band, bandHash) row per band — ids only; the shingle arrays
+    // are joined back ONLY for the (small) deduplicated candidate set,
+    // so the band self-join never shuffles document content
+    val banded = sig.select(col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
+        .as(Seq("band", "bh")))
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
+      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
+      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
+      .withColumn("jaccard", round(col("common").cast("double") /
+        (size(col("sha")) + size(col("shb")) - col("common")), 4))
+      .filter(col("jaccard") >= minJ)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** 64-bit SimHash of the token multiset (pure Scala kernel — exposed
+    * for the typed path and tests).
+    */
+  def simhash64(tokens: Iterable[String]): Long = {
+    val acc = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xFFFFFFFFL)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
+        b += 1
+      }
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (acc(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 15),
+    * candidate generation via 4-segment pigeonhole blocking.
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    require(maxHamming <= 15, "4-segment blocking covers hamming <= 3 " +
+      "guaranteed; up to 15 heuristically")
+    val sigs = docs.select(col(idCol).cast("string").as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .as[(String, Seq[String])]
+      .mapPartitions(_.map { case (id, ts) => (id, simhash64(ts)) })
+      .toDF("doc_id", "sig")
+    val seg = sigs.select($"doc_id", $"sig",
+      posexplode(array(Seq.tabulate(4)(i =>
+        (shiftrightunsigned($"sig", i * 16) % lit(65536)).cast("int")): _*))
+        .as(Seq("seg", "sv")))
+    val ham = udfFreeHamming($"a.sig", $"b.sig")
+    seg.as("a").join(seg.as("b"),
+        $"a.seg" === $"b.seg" && $"a.sv" === $"b.sv" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        ham.as("hamming"))
+      .dropDuplicates("id_a", "id_b")
+      .filter($"hamming" <= maxHamming)
+  }
+
+  /** bit_count(a XOR b) as a Catalyst expression (no UDF). */
+  private def udfFreeHamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

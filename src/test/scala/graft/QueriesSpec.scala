@@ -1,0 +1,39 @@
+package graft
+
+import graft.operators.Media
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every SparkEntry query executes; entry() smoke; media stub checks. */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  test("entry() returns rows") {
+    assert(SparkEntry.entry(spark).count() == 200L)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    val qs = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qs
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"query $name runs at sf0.001") {
+      val df = fn(spark, dir)
+      val n = df.count()
+      assert(n >= 0)
+      if (!Set("d2_ngram_jaccard").contains(name)) // pair queries may be 0
+        assert(n > 0, s"$name returned no rows")
+    }
+  }
+
+  test("media decode stub is deterministic and total") {
+    val m1 = Media.decodeStub("x", "hello world".getBytes("UTF-8"))
+    val m2 = Media.decodeStub("x", "hello world".getBytes("UTF-8"))
+    assert(m1 == m2)
+    assert(m1.n_bytes == 11L && m1.width == 11 % 640 + 16)
+    val empty = Media.decodeStub("e", Array.empty)
+    assert(empty.n_bytes == 0L && empty.mean_byte == 0.0)
+  }
+}
