@@ -138,7 +138,7 @@ object SparkEntry {
       import s.implicits._
       t(s, dir, "events")
         .withColumn("k", regexp_extract($"props", "\"k\":\\s*(\\d+)", 1)
-          .cast("int"))
+          .try_cast("int")) // ANSI-safe: non-match "" becomes null
         .groupBy($"event_type")
         .agg(count($"k").as("n_k"),
           round(sum($"k").cast("double") / count($"k"), 4).as("avg_k"))
@@ -279,7 +279,34 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    "j1_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_id",
+          from_json($"props",
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy($"event_id")
+    }),
+
     // -------------------------------------------------------- extraction
+    "p2_field_extract" -> ((s, dir) => { // no SQL oracle (pipeline input)
+      import s.implicits._
+      val docs = s.range(0, 300).mapPartitions(_.map(i =>
+        CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+      val extracted = Pipeline.extract(docs,
+        graft.model.ExtractConfig(partitions = 8))
+      val img = extracted.toDF()
+        .select($"doc_id", explode($"spans").as("s"))
+        .filter($"s.kind" === "image")
+        .select($"doc_id", $"s.order".as("ord"), $"s.text".as("text"))
+      val cols = graft.functions.FieldExtract.fields($"text")
+        .map { case (n, c) => c.as(n) }
+      img.select(Seq($"doc_id", $"ord") ++ cols :+
+          graft.functions.FieldExtract.completeness($"text").as("completeness"): _*)
+        .orderBy($"doc_id", $"ord")
+    }),
+
     "p1_extract_pipeline" -> ((s, dir) => { // no SQL oracle (pipeline)
       import s.implicits._
       val docs = s.range(0, 300).mapPartitions(_.map(i =>
@@ -360,6 +387,11 @@ object SparkEntry {
                  TRY_CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS INT) AS k
                FROM events)
          GROUP BY event_type ORDER BY event_type""",
+
+    "j1_json_extract" ->
+      """SELECT event_id,
+         TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
+         FROM events ORDER BY event_id""",
 
     "x1_markdown_decorate" ->
       """SELECT doc_id,

@@ -92,4 +92,17 @@ object TextFunctions {
   def rollingHash(c: Column): Column =
     aggregate(tokens(c), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
+
+  /** Context-budget truncation (reference reasoning_engine.py:234-252
+    * `_truncate_text`): cut to maxChars; if a newline exists past 80% of
+    * the budget, cut at that newline instead (never mid-line when a
+    * clean break is close enough). Pure Scala — applied at the edge.
+    */
+  def smartTruncate(text: String, maxChars: Int): String = {
+    if (text == null || text.length <= maxChars) return text
+    val hard = text.substring(0, maxChars)
+    val nl = hard.lastIndexOf('\n')
+    if (nl >= (maxChars * 0.8).toInt) hard.substring(0, nl)
+    else hard
+  }
 }

@@ -1,0 +1,72 @@
+package graft
+
+import graft.data.CorpusGen
+import graft.model._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the plans must be the ones we'd want on a
+  * 1000-executor cluster, not merely correct:
+  *   - filters/column pruning reach the parquet scan,
+  *   - small dimension joins broadcast,
+  *   - the fused extraction path contains NO shuffle,
+  *   - extraction expressions stay inside WholeStageCodegen.
+  */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q2: predicate pushdown + column pruning reach the parquet scan") {
+    val p = plan("q2_filter_pushdown")
+    assert(p.contains("PushedFilters: [IsNotNull"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate"), p)
+    // pruned read schema: only the 5 needed columns, not all 11
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_returnflag"), readSchema)
+    assert(readSchema.contains("l_quantity"), readSchema)
+  }
+
+  test("q3: small dimensions broadcast, not shuffled") {
+    val p = plan("q3_revenue_by_nation")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  private def countExchanges(p: String): Int =
+    "Exchange hashpartitioning".r.findAllIn(p).length
+
+  test("fused extraction path adds zero shuffles beyond the heavy branch") {
+    import spark.implicits._
+    def docs = spark.range(0, 10).mapPartitions(_.map(i =>
+      CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+    val all = Pipeline.extract(docs,
+      ExtractConfig(partitions = 4, saltThreshold = Int.MaxValue))
+    val heavyBranchOnly = Pipeline.extract(docs,
+      ExtractConfig(partitions = 4, saltThreshold = -1))
+    val exAll = countExchanges(all.queryExecution.executedPlan.toString)
+    val exHeavy = countExchanges(heavyBranchOnly.queryExecution.executedPlan.toString)
+    // the light (fused) path contributes no Exchange: plan shuffle count
+    // is identical whether all docs are light or all docs are heavy
+    assert(exAll == exHeavy,
+      s"light path added shuffles: all=$exAll heavyOnly=$exHeavy")
+  }
+
+  test("scan-heavy text queries stay in whole-stage codegen") {
+    val df = SparkEntry.queries("t2_quality")(spark, dir)
+    df.collect() // finalize the adaptive plan so codegen stages appear
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("salted path: exactly two exchanges (salt + reassembly)") {
+    import spark.implicits._
+    val docs = spark.range(0, 10).mapPartitions(_.map(i =>
+      CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+    val heavyOnly = Pipeline.extract(docs,
+      ExtractConfig(partitions = 4, saltThreshold = -1)) // all docs heavy
+    val p = heavyOnly.queryExecution.executedPlan.toString
+    assert(countExchanges(p) == 2, s"exchanges=${countExchanges(p)}\n$p")
+  }
+}
