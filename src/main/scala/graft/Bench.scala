@@ -117,20 +117,26 @@ object Bench {
 
     ensureCorpus()
 
-    // part 1: alternate levels twice, best per level
-    val t8a = extractionTrials(8, 2)
-    val t32a = extractionTrials(32, 2)
-    val t8b = extractionTrials(8, 2)
-    val t32b = extractionTrials(32, 2)
-    val thr8 = (t8a ++ t8b).max
-    val thr32 = (t32a ++ t32b).max
-
-    // part 2: box capacity ratio (time8 / time32 of fixed CPU work)
-    val cal8 = cpuCalibration(8)
-    val cal32 = cpuCalibration(32)
-    val capacityRatio = cal8 / cal32 // ideal machine: 4.0
+    // parts 1+2 interleaved: per round, calibration is measured adjacent
+    // to each level's throughput so the (time-varying) box capacity is
+    // paired with the observation it normalizes
+    final case class Round(cal8: Double, thr8: Double,
+        cal32: Double, thr32: Double) {
+      def capacity: Double = cal8 / cal32 // ideal machine: 4.0
+      def effNorm: Double = (thr32 / thr8) / capacity
+    }
+    val rounds = (1 to 2).map { _ =>
+      val c8 = cpuCalibration(8)
+      val t8 = extractionTrials(8, 2).max
+      val c32 = cpuCalibration(32)
+      val t32 = extractionTrials(32, 2).max
+      Round(c8, t8, c32, t32)
+    }
+    val thr8 = rounds.map(_.thr8).max
+    val thr32 = rounds.map(_.thr32).max
+    val capacityRatio = rounds.map(_.capacity).sum / rounds.size
     val effRaw = (thr32 / thr8) / 4.0
-    val effNorm = (thr32 / thr8) / capacityRatio
+    val effNorm = rounds.map(_.effNorm).sum / rounds.size
 
     // part 3: headline queries at sfDir
     val spark = session(cpus)

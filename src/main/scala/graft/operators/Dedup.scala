@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   * Scale notes (designed for 10^9+ docs):
   *   - exact dedup: one shuffle on the md5 fingerprint — the grouping
   *     key is 16 bytes regardless of document size.
-  *   - MinHash+LSH: signatures are computed scan-side with pure Catalyst
-  *     HOFs (no UDF, stays in codegen); only (band, bandHash) pairs are
-  *     shuffled — band count * 8 bytes per doc, never the text. Candidate
-  *     verification joins texts back only for the (tiny) candidate set.
+  *   - MinHash+LSH: signatures + band hashes are computed scan-side in a
+  *     JIT-compiled Scala kernel inside typed mapPartitions (Spark array
+  *     HOFs are interpreted, not codegen'd — measured 10x+ slower here);
+  *     only (doc_id, band, bandHash) rows are shuffled — never the text.
+  *     Candidate verification joins shingles back only for the (tiny)
+  *     deduplicated candidate set.
   *   - SimHash: 64-bit signature per doc; pairs via 4-segment blocking
   *     (pigeonhole: hamming<=3 over 64 bits => at least one identical
   *     16-bit segment), so the self-join key is (segment, 16-bit value).
@@ -38,7 +40,9 @@ object Dedup {
       n: Int = 3, minJ: Double = 0.5): DataFrame = {
     val sh = docs.select(col(idCol).as("doc_id"),
         wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0)
+      .filter(size(col("sh")) > 0) // HOF shingling kept here: this exact
+      // operator is also the DuckDB-oracle query, and its cost is the
+      // pair join, not the per-row shingling
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val pairs = ex.as("a").join(ex.as("b"),
@@ -57,33 +61,85 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** MinHash signature column: array of `perms` 32-bit min-hashes over
-    * the shingle set. Pure Catalyst (hash(g, seed_i) per permutation).
+  /** Word n-gram shingle set — plain Scala kernel (JIT-compiled; Spark's
+    * array HOFs are interpreted, not codegen'd, so per-row kernels belong
+    * in typed mapPartitions).
     */
-  def minhashSignature(shingles: Column, perms: Int): Column =
-    array(Seq.tabulate(perms) { i =>
-      array_min(transform(shingles, g => hash(g, lit(i))))
-    }: _*)
+  def shingleSet(toks: Seq[String], n: Int): Array[String] = {
+    if (toks.lengthCompare(n) < 0) return Array.empty
+    val arr = toks.toArray
+    val out = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i + n <= arr.length) {
+      val sb = new java.lang.StringBuilder
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(arr(i + j))
+        j += 1
+      }
+      out.add(sb.toString)
+      i += 1
+    }
+    out.toArray(Array.empty[String])
+  }
+
+  /** MinHash signature: permutation i's hash family = murmur3(g, i). */
+  def minhashSig(shingles: Array[String], perms: Int): Array[Int] = {
+    val sig = Array.fill(perms)(Int.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      val g = shingles(s)
+      var i = 0
+      while (i < perms) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(g, i)
+        if (h < sig(i)) sig(i) = h
+        i += 1
+      }
+      s += 1
+    }
+    sig
+  }
 
   /** MinHash+LSH near-duplicate candidate pairs, verified by exact
-    * shingle Jaccard. bands*rowsPerBand must equal perms.
+    * shingle Jaccard. bands*rowsPerBand must equal perms. Returned ids
+    * are strings (cast from idCol).
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, perms: Int = 64, bands: Int = 16,
       minJ: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
     val rowsPerBand = perms / bands
     require(bands * rowsPerBand == perms, "bands must divide perms")
-    val sh = docs.select(col(idCol).as("doc_id"),
-        wordShingles(col(textCol), n).as("sh"))
+    val tokenized = docs.select(col(idCol).cast("string").as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .as[(String, Seq[String])]
+    val sh = tokenized
+      .mapPartitions(_.map { case (id, ts) => (id, shingleSet(ts, n).toSeq) })
+      .toDF("doc_id", "sh")
       .filter(size(col("sh")) > 0)
-    val sig = sh.withColumn("sig", minhashSignature(col("sh"), perms))
     // one (band, bandHash) row per band — ids only; the shingle arrays
     // are joined back ONLY for the (small) deduplicated candidate set,
     // so the band self-join never shuffles document content
-    val banded = sig.select(col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => hash(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)))))
-        .as(Seq("band", "bh")))
+    val banded = tokenized
+      .mapPartitions(_.flatMap { case (id, ts) =>
+        val shingles = shingleSet(ts, n)
+        if (shingles.isEmpty) Iterator.empty
+        else {
+          val sig = minhashSig(shingles, perms)
+          (0 until bands).iterator.map { b =>
+            var bh = b
+            var r = 0
+            while (r < rowsPerBand) {
+              bh = scala.util.hashing.MurmurHash3.mix(bh, sig(b * rowsPerBand + r))
+              r += 1
+            }
+            (id, b, scala.util.hashing.MurmurHash3.finalizeHash(bh, rowsPerBand))
+          }
+        }
+      })
+      .toDF("doc_id", "band", "bh")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
           col("a.doc_id") < col("b.doc_id"))

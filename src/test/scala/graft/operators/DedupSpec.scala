@@ -42,12 +42,12 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash LSH recovers the jaccard pairs (recall on fixture)") {
     val truth = Dedup.jaccardPairs(corpus(), "text", "doc_id", 3, 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getLong(0).toString, r.getLong(1).toString)).toSet
     val found = Dedup.minhashNearDups(corpus(), "text", "doc_id",
         n = 3, perms = 64, bands = 16, minJ = 0.5)
-      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(found.subsetOf(truth)) // verification step guarantees precision
-    assert(found.contains((1L, 2L))) // exact dups always collide
+    assert(found.contains(("1", "2"))) // exact dups always collide
     val recall = found.size.toDouble / truth.size
     assert(recall >= 0.75, s"recall $recall, found=$found truth=$truth")
   }
