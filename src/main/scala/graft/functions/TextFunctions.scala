@@ -77,13 +77,19 @@ object TextFunctions {
     * Pure HOFs: sequence + transform + slice + array_join.
     */
   def wordShingles(c: Column, n: Int): Column = {
-    val toks = tokens(c)
-    // guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty
-    when(size(toks) >= n,
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
+    // Let-binding via a 1-element array + transform: interpreted HOFs
+    // re-evaluate any non-attribute subexpression referenced inside a
+    // lambda body ONCE PER ELEMENT — binding the token array to a lambda
+    // variable makes the per-shingle slice O(n) instead of re-splitting
+    // the whole text per shingle (measured ~100x on sf0.1 documents).
+    // Guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty.
+    val bound = transform(array(tokens(c)), toks =>
+      when(size(toks) >= n,
+        array_distinct(
+          transform(sequence(lit(0), size(toks) - lit(n)),
+            i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
+        .otherwise(array().cast("array<string>")))
+    flatten(bound)
   }
 
   /** Rolling-hash document fingerprint (polynomial hash over tokens) —

@@ -38,11 +38,19 @@ object Dedup {
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val sh = docs.select(col(idCol).as("doc_id"),
-        wordShingles(col(textCol), n).as("sh"))
-      .filter(size(col("sh")) > 0) // HOF shingling kept here: this exact
-      // operator is also the DuckDB-oracle query, and its cost is the
-      // pair join, not the per-row shingling
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    // shingling via the JIT Scala kernel (same values as wordShingles —
+    // verified by the DuckDB oracle on this exact operator); ids pass
+    // through as strings and are cast back to their original type below
+    val sh = docs.select(col(idCol).cast("string").as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .as[(String, Seq[String])]
+      .mapPartitions(_.map { case (id, ts) => (id, shingleSet(ts, n).toSeq) })
+      .toDF("doc_id", "sh")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+      .filter(size(col("sh")) > 0)
     val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
     val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
     val pairs = ex.as("a").join(ex.as("b"),
