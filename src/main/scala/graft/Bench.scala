@@ -125,18 +125,24 @@ object Bench {
       def capacity: Double = cal8 / cal32 // ideal machine: 4.0
       def effNorm: Double = (thr32 / thr8) / capacity
     }
-    val rounds = (1 to 2).map { _ =>
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val rounds = (1 to 3).map { _ =>
       val c8 = cpuCalibration(8)
       val t8 = extractionTrials(8, 2).max
       val c32 = cpuCalibration(32)
       val t32 = extractionTrials(32, 2).max
       Round(c8, t8, c32, t32)
     }
-    val thr8 = rounds.map(_.thr8).max
-    val thr32 = rounds.map(_.thr32).max
-    val capacityRatio = rounds.map(_.capacity).sum / rounds.size
+    val thr8 = median(rounds.map(_.thr8))
+    val thr32 = median(rounds.map(_.thr32))
+    val capacityRatio = median(rounds.map(_.capacity))
     val effRaw = (thr32 / thr8) / 4.0
-    val effNorm = rounds.map(_.effNorm).sum / rounds.size
+    val effNorm = median(rounds.map(_.effNorm))
+
+    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")) {
+      println(f"""{"thr8":$thr8%.0f,"thr32":$thr32%.0f,"capacity":$capacityRatio%.3f,"eff_raw":$effRaw%.3f,"eff_norm":$effNorm%.3f}""")
+      return
+    }
 
     // part 3: headline queries at sfDir
     val spark = session(cpus)
