@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.Pipeline
+import graft.model._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surfaces.
+  *
+  * The reference is strictly batch (SURVEY.md §2.8) — these are the
+  * engine's forward-looking streaming entry points for continuous
+  * corpus ingestion:
+  *
+  *   - `extractStream`: micro-batch extraction via foreachBatch — each
+  *     batch runs the full (two-path) batch pipeline and appends a
+  *     committed snapshot, so streaming ingestion shares the exact batch
+  *     semantics and the same resumable table (checkpointLocation +
+  *     snapshot commit log together give end-to-end exactly-once).
+  *   - `windowedEventCounts`: watermarked sliding-window aggregation
+  *     over an event stream.
+  *   - `sessionize`: stateful per-user sessionization via
+  *     mapGroupsWithState (processing-time gap timeout).
+  */
+object StreamExtract {
+
+  /** Input docs schema (FIXTURES.md §1) for streaming file sources. */
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", StringType),
+    StructField("spans", ArrayType(StructType(Seq(
+      StructField("kind", StringType),
+      StructField("text", StringType),
+      StructField("media_ref", StringType),
+      StructField("offset", IntegerType)))))))
+
+  /** Stream new docs-table parquet files from `inputDir` through the
+    * batch pipeline; every micro-batch is committed as one snapshot
+    * bucket (bucket id = batch id offset) in `storeRoot`.
+    */
+  def extractStream(spark: SparkSession, inputDir: String,
+      storeRoot: String, checkpoint: String,
+      cfg: ExtractConfig = ExtractConfig(),
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    import spark.implicits._
+    val store = new graft.snapshot.SnapshotStore(storeRoot)
+    spark.readStream
+      .schema(docSchema)
+      .parquet(inputDir)
+      .as[Doc]
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: Dataset[Doc], batchId: Long) =>
+        // bucket id = micro-batch id; replays of an already-committed
+        // batch (checkpoint/commit race on restart) are no-ops
+        val bucket = batchId.toInt
+        if (!store.committedBuckets.contains(bucket)) {
+          val acc = Pipeline.auditAccumulator(batch.sparkSession)
+          val out = Pipeline.extract(batch, cfg,
+            snapshotId = store.latest.map(_.snapshot_id + 1).getOrElse(1L),
+            audit = acc)
+          val (dataDir, auditDir) = store.newWriteDirs(bucket)
+          out.write.parquet(dataDir)
+          val audit = Pipeline.auditRows(acc)
+          batch.sparkSession.createDataset(audit).coalesce(1)
+            .write.parquet(auditDir)
+          store.commit(bucket, dataDir, auditDir, audit.map(_.docs).sum)
+        }
+        ()
+      }
+      .start()
+  }
+
+  /** Watermarked sliding-window event aggregation (events table shape:
+    * ts timestamp, event_type string, value double).
+    */
+  def windowedEventCounts(events: DataFrame, windowDur: String,
+      slideDur: String, watermark: String): DataFrame =
+    events
+      // watermarks require TIMESTAMP (with tz); parquet may carry NTZ
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowDur, slideDur), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast("decimal(20,6)")).cast("double"), 4)
+          .as("sum_value"))
+
+  final case class Session(user_id: Long, n_events: Long, total_value: Double,
+      first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
+  final case class SessionState(n: Long, total: Double,
+      first: Long, last: Long)
+
+  /** Stateful sessionization: one output row per closed user session
+    * (processing-time gap timeout).
+    */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Session(user, s.n, s.total,
+              new java.sql.Timestamp(s.first), new java.sql.Timestamp(s.last))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0,
+              Long.MaxValue, Long.MinValue))
+            val next = SessionState(
+              prev.n + evs.size,
+              prev.total + evs.map(_._3).sum,
+              math.min(prev.first, evs.map(_._2.getTime).min),
+              math.max(prev.last, evs.map(_._2.getTime).max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Session(user, next.n, next.total,
+              new java.sql.Timestamp(next.first),
+              new java.sql.Timestamp(next.last))
+          }
+      }
+  }
+}
