@@ -115,17 +115,23 @@ object HtmlExtractor {
           if (name.nonEmpty) {
             if (close) out += Close(name)
             else if (rawTextTags.contains(name) && !self) {
-              // skip raw content up to the matching close tag
+              // skip raw content up to the matching close tag —
+              // case-insensitive regionMatches scan (no O(n) lowercase
+              // copy per raw-text element)
               val closeTag = "</" + name
-              val e = html.toLowerCase.indexOf(closeTag, end)
+              var e = -1
+              var k2 = end
+              while (e < 0 && k2 <= n - closeTag.length) {
+                if (html.regionMatches(true, k2, closeTag, 0, closeTag.length))
+                  e = k2
+                else k2 += 1
+              }
               if (e < 0) { i = n; textStart = n }
               else {
                 val gt = html.indexOf('>', e)
                 i = if (gt < 0) n else gt + 1
                 textStart = i
               }
-              // fallthrough sets i below; guard:
-              if (i > end) { /* already advanced past raw content */ }
             } else out += Open(name, self)
           }
           if (!(rawTextTags.contains(name) && !close && !self)) {

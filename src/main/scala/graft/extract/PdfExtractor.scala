@@ -131,10 +131,18 @@ object PdfExtractor {
     if (bestW <= 0) null else (bestStart, bestW)
   }
 
+  /** Recursion-depth cap: pathological layouts (alternating single-token
+    * gaps) would otherwise make XY-cut O(n^2); past the cap the region is
+    * rendered as one block in (y/50, x) order — the reference's own
+    * single-pass ordering, so degradation is graceful.
+    */
+  val MaxDepth = 64
+
   /** Recursive XY-cut: emit leaf blocks in reading order. */
-  private def xyCut(toks: Array[Tok], out: ArrayBuffer[Array[Tok]]): Unit = {
+  private def xyCut(toks: Array[Tok], out: ArrayBuffer[Array[Tok]],
+      depth: Int = 0): Unit = {
     if (toks.isEmpty) return
-    if (toks.length > 1) {
+    if (toks.length > 1 && depth < MaxDepth) {
       val yGap = widestGap(toks.map(t => (t.y, t.y2)))
       val xGap = widestGap(toks.map(t => (t.x, t.x2)))
       val cutY = yGap != null && yGap._2 >= MinGapY
@@ -144,14 +152,14 @@ object PdfExtractor {
         val mid = yGap._1 + yGap._2 / 2
         val (top, bot) = toks.partition(_.y2 <= mid)
         if (top.nonEmpty && bot.nonEmpty) {
-          xyCut(top, out); xyCut(bot, out); return
+          xyCut(top, out, depth + 1); xyCut(bot, out, depth + 1); return
         }
       }
       if (cutX) {
         val mid = xGap._1 + xGap._2 / 2
         val (left, right) = toks.partition(_.x2 <= mid)
         if (left.nonEmpty && right.nonEmpty) {
-          xyCut(left, out); xyCut(right, out); return
+          xyCut(left, out, depth + 1); xyCut(right, out, depth + 1); return
         }
       }
     }
