@@ -25,10 +25,26 @@ import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
   */
 object Main {
 
-  private def parseArgs(args: Array[String]): Map[String, String] =
-    args.sliding(2, 2).collect {
-      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
-    }.toMap
+  /** --key value pairs; a bare --flag (no value) maps to "true" without
+    * shifting subsequent pairs.
+    */
+  private def parseArgs(args: Array[String]): Map[String, String] = {
+    val out = Map.newBuilder[String, String]
+    var i = 0
+    while (i < args.length) {
+      val a = args(i)
+      if (a.startsWith("--")) {
+        if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+          out += a.drop(2) -> args(i + 1)
+          i += 2
+        } else {
+          out += a.drop(2) -> "true"
+          i += 1
+        }
+      } else i += 1
+    }
+    out.result()
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = parseArgs(args)

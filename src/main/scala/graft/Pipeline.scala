@@ -42,13 +42,17 @@ import scala.collection.mutable.ArrayBuffer
   */
 object Pipeline {
 
-  /** Internal flattened row after explode (null kind = empty doc). */
+  /** Internal flattened row after explode (null kind = empty doc).
+    * `pos` = the span's index within the input array — the stable
+    * tie-breaker when offsets duplicate, matching the fused path's
+    * input-order-stable sort.
+    */
   private[graft] final case class InRow(doc_id: String, kind: String,
-      text: String, media_ref: String, offset: Int, spans_in: Int)
+      text: String, media_ref: String, offset: Int, pos: Int, spans_in: Int)
 
   /** Internal extracted row carried into reassembly. */
   private[graft] final case class ExRow(doc_id: String, kind: String,
-      text: String, media_ref: String, offset: Int, spans_in: Int,
+      text: String, media_ref: String, offset: Int, pos: Int, spans_in: Int,
       in_len: Int, err: String)
 
   /** Flatten docs into one row per span. Empty docs survive as a single
@@ -59,26 +63,27 @@ object Pipeline {
     import spark.implicits._
     docs
       .select($"doc_id", size($"spans").as("spans_in"),
-        explode_outer($"spans").as("s"))
+        posexplode_outer($"spans").as(Seq("pos", "s")))
       .select($"doc_id", $"s.kind".as("kind"), $"s.text".as("text"),
         $"s.media_ref".as("media_ref"),
         coalesce($"s.offset", lit(-1)).as("offset"),
+        coalesce($"pos", lit(-1)).as("pos"),
         greatest($"spans_in", lit(0)).as("spans_in"))
       .as[InRow]
   }
 
   private def extractRow(r: InRow, fmt: OutFormat): ExRow = {
     if (r.kind == null) // empty doc marker
-      return ExRow(r.doc_id, null, "", null, -1, r.spans_in, 0, null)
+      return ExRow(r.doc_id, null, "", null, -1, -1, r.spans_in, 0, null)
     val inLen = if (r.text == null) 0 else r.text.length
     try {
       val e = Extractor.extractSpan(
         SpanRow(r.doc_id, r.kind, r.text, r.media_ref, r.offset), fmt)
-      ExRow(r.doc_id, e.kind, e.text, e.media_ref, e.offset, r.spans_in,
-        inLen, null)
+      ExRow(r.doc_id, e.kind, e.text, e.media_ref, e.offset, r.pos,
+        r.spans_in, inLen, null)
     } catch {
       case t: Throwable => // never poison the partition: fail the doc soft
-        ExRow(r.doc_id, r.kind, "", null, r.offset, r.spans_in, inLen,
+        ExRow(r.doc_id, r.kind, "", null, r.offset, r.pos, r.spans_in, inLen,
           s"${t.getClass.getSimpleName}: ${t.getMessage}")
     }
   }
@@ -168,7 +173,10 @@ object Pipeline {
       snapshotId: Long,
       audit: CollectionAccumulator[AuditRow]): Iterator[ExtractedDoc] = {
     val ac = new AuditCollector(snapshotId, audit)
-    val out = it.map { d =>
+    val out = it.map { d0 =>
+      // null spans array (possible from external tables / nullable
+      // streaming schemas) behaves like an empty doc
+      val d = if (d0.spans == null) d0.copy(spans = Nil) else d0
       val sorted =
         if (d.spans.isEmpty) d.spans
         else d.spans.sortBy(_.offset)
@@ -210,13 +218,16 @@ object Pipeline {
       else spark.sessionState.conf.numShufflePartitions
     val fmt = cfg.format
 
-    // fused zero-shuffle path for everything but the mega-doc skew tail
-    val light = docs.filter(size($"spans") <= cfg.saltThreshold)
+    // fused zero-shuffle path for everything but the mega-doc skew tail;
+    // null spans arrays count as size 0 (ANSI size(null) is null, which
+    // would otherwise drop the doc from BOTH branches)
+    val nSpans = coalesce(size($"spans"), lit(0))
+    val light = docs.filter(nSpans <= cfg.saltThreshold)
       .as[Doc]
       .mapPartitions(it => extractFused(it, fmt, snapshotId, audit))
 
     // salted explode/shuffle path for mega-docs
-    val heavyDocs = docs.filter(size($"spans") > cfg.saltThreshold)
+    val heavyDocs = docs.filter(nSpans > cfg.saltThreshold)
     val flat = flatten(heavyDocs)
     // shuffle #1: salted — spreads a mega-doc's spans across partitions
     val salted = flat.repartition(parts,
@@ -224,10 +235,12 @@ object Pipeline {
     val extracted = salted
       .as[InRow]
       .mapPartitions(it => it.map(extractRow(_, fmt)))
-    // shuffle #2: co-locate + secondary-sort, then stream-merge per doc
+    // shuffle #2: co-locate + secondary-sort, then stream-merge per doc;
+    // `pos` tie-breaks duplicate offsets deterministically (same input-
+    // order-stable semantics as the fused path's sortBy)
     val heavy = extracted
       .repartition(parts, $"doc_id")
-      .sortWithinPartitions($"doc_id", $"offset")
+      .sortWithinPartitions($"doc_id", $"offset", $"pos")
       .as[ExRow]
       .mapPartitions(it => reassemble(it, snapshotId, audit))
 

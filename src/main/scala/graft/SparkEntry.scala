@@ -307,6 +307,30 @@ object SparkEntry {
         .orderBy($"doc_id", $"ord")
     }),
 
+    "p3_run_analysis" -> ((s, dir) => { // no SQL oracle (pipeline input)
+      // reference A2/A3: run-level success rate + per-field hit rates
+      // (test_sustainability_reports.py:173-194, :229-238)
+      import s.implicits._
+      val docs = s.range(0, 300).mapPartitions(_.map(i =>
+        CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+      val extracted = Pipeline.extract(docs,
+        graft.model.ExtractConfig(partitions = 8)).toDF()
+      val imgText = extracted
+        .select($"doc_id", $"success",
+          array_join(transform(
+            filter($"spans", sp => sp.getField("kind") === "image"),
+            sp => sp.getField("text")), "\n").as("text"))
+      val hits = graft.functions.FieldExtract.fields($"text").map {
+        case (n, c) =>
+          round(avg(when(graft.functions.FieldExtract.isValid(c), 1.0)
+            .otherwise(0.0)) * 100, 2).as(s"hit_$n")
+      }
+      val aggs = Seq(
+        round(avg(when($"success", 1.0).otherwise(0.0)) * 100, 2)
+          .as("success_rate_pct")) ++ hits
+      imgText.agg(count(lit(1)).as("n_docs"), aggs: _*)
+    }),
+
     "p1_extract_pipeline" -> ((s, dir) => { // no SQL oracle (pipeline)
       import s.implicits._
       val docs = s.range(0, 300).mapPartitions(_.map(i =>

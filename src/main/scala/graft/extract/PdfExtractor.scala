@@ -64,15 +64,19 @@ object PdfExtractor {
     sb.toString
   }
 
+  private def isHex(c: Char): Boolean =
+    (c >= '0' && c <= '9') || (c >= 'a' && c <= 'f') || (c >= 'A' && c <= 'F')
+
   private def unescapeTok(s: String): String = {
     if (s.indexOf('%') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
       val c = s(i)
-      if (c == '%' && i + 2 < s.length) {
-        val hex = s.substring(i + 1, i + 3)
-        sb.append(Integer.parseInt(hex, 16).toChar)
+      // invalid escapes (%G1, trailing %) pass through literally —
+      // extraction must never throw on malformed input
+      if (c == '%' && i + 2 < s.length && isHex(s(i + 1)) && isHex(s(i + 2))) {
+        sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
         i += 3
       } else { sb.append(c); i += 1 }
     }

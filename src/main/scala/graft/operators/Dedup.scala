@@ -123,13 +123,9 @@ object Dedup {
     val tokenized = docs.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
-    val sh = tokenized
-      .mapPartitions(_.map { case (id, ts) => (id, shingleSet(ts, n).toSeq) })
-      .toDF("doc_id", "sh")
-      .filter(size(col("sh")) > 0)
-    // one (band, bandHash) row per band — ids only; the shingle arrays
-    // are joined back ONLY for the (small) deduplicated candidate set,
-    // so the band self-join never shuffles document content
+    // one (band, bandHash) row per band — ids only; shingling + minhash
+    // run exactly ONCE over the corpus, and the band self-join never
+    // shuffles document content
     val banded = tokenized
       .mapPartitions(_.flatMap { case (id, ts) =>
         val shingles = shingleSet(ts, n)
@@ -153,14 +149,28 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // verification: join raw tokens back and re-shingle ONLY the (tiny)
+    // candidate set post-join — the corpus-wide scans stay cheap column
+    // reads, no full-corpus shingle recomputation
+    val toksDf = tokenized.toDF("doc_id", "t")
     cand
-      .join(sh.select(col("doc_id").as("id_a"), col("sh").as("sha")), "id_a")
-      .join(sh.select(col("doc_id").as("id_b"), col("sh").as("shb")), "id_b")
-      .withColumn("common", size(array_intersect(col("sha"), col("shb"))))
-      .withColumn("jaccard", round(col("common").cast("double") /
-        (size(col("sha")) + size(col("shb")) - col("common")), 4))
-      .filter(col("jaccard") >= minJ)
-      .select("id_a", "id_b", "jaccard")
+      .join(toksDf.select(col("doc_id").as("id_a"), col("t").as("ta")), "id_a")
+      .join(toksDf.select(col("doc_id").as("id_b"), col("t").as("tb")), "id_b")
+      .select("id_a", "id_b", "ta", "tb") // using-joins reorder columns
+      .as[(String, String, Seq[String], Seq[String])]
+      .mapPartitions(_.flatMap { case (idA, idB, ta, tb) =>
+        val sa = shingleSet(ta, n)
+        val sb = shingleSet(tb, n)
+        if (sa.isEmpty || sb.isEmpty) Iterator.empty
+        else {
+          val setB = sb.toSet
+          val common = sa.count(setB.contains)
+          val j = math.rint(common.toDouble /
+            (sa.length + sb.length - common) * 10000) / 10000
+          if (j >= minJ) Iterator((idA, idB, j)) else Iterator.empty
+        }
+      })
+      .toDF("id_a", "id_b", "jaccard")
   }
 
   /** 64-bit SimHash of the token multiset (pure Scala kernel — exposed

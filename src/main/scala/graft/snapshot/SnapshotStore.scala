@@ -2,7 +2,7 @@ package graft.snapshot
 
 import com.fasterxml.jackson.databind.{DeserializationFeature, ObjectMapper}
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.jdk.CollectionConverters._
 
 /** Minimal Iceberg-style snapshot table layout (from scratch — no Iceberg
@@ -20,9 +20,11 @@ import scala.jdk.CollectionConverters._
   * Commit protocol (plain-FS safe):
   *   1. writer writes parquet into a fresh uuid-suffixed dir (never
   *      reused — idempotent retries just produce an orphan dir);
-  *   2. snapshot JSON is written to a temp file and atomically renamed
-  *      to snapshots/snapshot-<n+1>.json (first writer wins; rename
-  *      fails if the target exists → caller re-reads and retries).
+  *   2. snapshot JSON is written to a temp file and published as
+  *      snapshots/snapshot-<n+1>.json via hard-link creation — an atomic
+  *      compare-and-swap on POSIX (link() fails if the target exists, so
+  *      the first writer wins and a loser re-reads and retries; a plain
+  *      ATOMIC_MOVE would silently replace the winner's commit).
   * Resume = read latest snapshot, skip its committed buckets
   * (north_rule: "checkpoint/resume by committed snapshot so a killed
   * run restarts at the last completed partition set").
@@ -53,11 +55,14 @@ class SnapshotStore(val root: String) {
     snapDir.resolve(f"snapshot-$id%010d.json")
 
   def latest: Option[Snapshot] = {
-    val ids = Files.list(snapDir).iterator().asScala
-      .map(_.getFileName.toString)
-      .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
-        s.stripPrefix("snapshot-").stripSuffix(".json").toLong
-      }.toSeq
+    val stream = Files.list(snapDir)
+    val ids =
+      try stream.iterator().asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("snapshot-") && s.endsWith(".json") =>
+          s.stripPrefix("snapshot-").stripSuffix(".json").toLong
+        }.toSeq
+      finally stream.close() // Files.list leaks an fd unless closed
     if (ids.isEmpty) None
     else Some(readSnapshot(ids.max))
   }
@@ -94,9 +99,12 @@ class SnapshotStore(val root: String) {
         parentBuckets :+ BucketEntry(bucket, dataDir, auditDir, docs))
       val tmp = Files.createTempFile(snapDir, ".tmp-snap", ".json")
       Files.write(tmp, mapper.writeValueAsBytes(next))
+      // compare-and-swap via hard-link creation: atomic AND fails if the
+      // target exists (ATOMIC_MOVE silently REPLACES an existing file on
+      // Linux, which would lose a concurrent commit)
       try {
-        Files.move(tmp, snapPath(next.snapshot_id),
-          StandardCopyOption.ATOMIC_MOVE)
+        Files.createLink(snapPath(next.snapshot_id), tmp)
+        Files.deleteIfExists(tmp)
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>

@@ -91,8 +91,12 @@ object StreamExtract {
   final case class SessionState(n: Long, total: Double,
       first: Long, last: Long)
 
-  /** Stateful sessionization: one output row per closed user session
-    * (processing-time gap timeout).
+  /** Stateful sessionization via mapGroupsWithState. Emission contract:
+    * every trigger that sees events for a user emits the RUNNING session
+    * snapshot (n/total/first/last so far); the gap timeout emits the
+    * final closed session and clears state. Downstream consumers that
+    * want only closed sessions should keep the last row per user (or use
+    * a flatMapGroupsWithState variant emitting solely on timeout).
     */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
       gapMs: Long): Dataset[Session] = {
