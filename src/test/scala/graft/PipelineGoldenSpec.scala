@@ -50,6 +50,17 @@ class PipelineGoldenSpec extends AnyFunSuite {
     assertSpanEquality(out, goldens.map(_.expected))
   }
 
+  test("golden equality, small tier (3000 docs, both paths, low threshold)") {
+    import spark.implicits._
+    val cfg = CorpusGen.GenConfig(megaEvery = 500, megaSpans = 2000)
+    val goldens = CorpusGen.goldens(3000, cfg = cfg)
+    val input = goldens.map(_.input).toDS()
+    // saltThreshold 2: docs with 3+ spans exercise the salted path too
+    val out = Pipeline.extract(input,
+      ExtractConfig(partitions = 8, saltThreshold = 2, chunkSpans = 128))
+    assertSpanEquality(out, goldens.map(_.expected))
+  }
+
   test("golden equality, markdown format") {
     import spark.implicits._
     val cfg = CorpusGen.GenConfig(markdown = true)
