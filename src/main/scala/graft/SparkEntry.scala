@@ -261,6 +261,12 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    "s3_cosine_neardups" -> ((s, dir) => { // no SQL oracle (LSH blocking)
+      Similarity.cosineNearDups(t(s, dir, "embeddings"),
+          "embedding", "vec_id", minCos = 0.2, planes = 5)
+        .orderBy("id_a", "id_b")
+    }),
+
     "e1_embedding_norms" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "embeddings")
