@@ -26,6 +26,16 @@ object SparkEntry {
   private def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast("decimal(20,4)")).cast("double"), scale)
 
+  /** Shared fixture for the pipeline queries (p1/p2/p3): the 300-doc
+    * generated corpus run through extraction.
+    */
+  private def extracted300(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val docs = s.range(0, 300).mapPartitions(_.map(i =>
+      CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
+    Pipeline.extract(docs, graft.model.ExtractConfig(partitions = 8)).toDF()
+  }
+
   /** Flagship: full extraction pipeline over a generated interleaved
     * corpus (driver smoke-checks rows > 0).
     */
@@ -298,11 +308,7 @@ object SparkEntry {
     // -------------------------------------------------------- extraction
     "p2_field_extract" -> ((s, dir) => { // no SQL oracle (pipeline input)
       import s.implicits._
-      val docs = s.range(0, 300).mapPartitions(_.map(i =>
-        CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
-      val extracted = Pipeline.extract(docs,
-        graft.model.ExtractConfig(partitions = 8))
-      val img = extracted.toDF()
+      val img = extracted300(s)
         .select($"doc_id", explode($"spans").as("s"))
         .filter($"s.kind" === "image")
         .select($"doc_id", $"s.order".as("ord"), $"s.text".as("text"))
@@ -317,11 +323,7 @@ object SparkEntry {
       // reference A2/A3: run-level success rate + per-field hit rates
       // (test_sustainability_reports.py:173-194, :229-238)
       import s.implicits._
-      val docs = s.range(0, 300).mapPartitions(_.map(i =>
-        CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
-      val extracted = Pipeline.extract(docs,
-        graft.model.ExtractConfig(partitions = 8)).toDF()
-      val imgText = extracted
+      val imgText = extracted300(s)
         .select($"doc_id", $"success",
           array_join(transform(
             filter($"spans", sp => sp.getField("kind") === "image"),
@@ -339,10 +341,7 @@ object SparkEntry {
 
     "p1_extract_pipeline" -> ((s, dir) => { // no SQL oracle (pipeline)
       import s.implicits._
-      val docs = s.range(0, 300).mapPartitions(_.map(i =>
-        CorpusGen.genDoc(CorpusGen.DefaultSeed, i).input))
-      Pipeline.extract(docs, graft.model.ExtractConfig(partitions = 8))
-        .toDF()
+      extracted300(s)
         .select($"doc_id", size($"spans").as("n_spans"), $"spans_in",
           $"success")
         .orderBy($"doc_id")

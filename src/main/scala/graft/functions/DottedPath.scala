@@ -17,8 +17,12 @@ object DottedPath {
     * analyzer rejects unknown fields (schema is checked, like the
     * reference's KeyError-to-None behavior but typed).
     */
-  def get(root: Column, path: String): Column =
-    path.split('.').foldLeft(root)((c, f) => c.getField(f))
+  def get(root: Column, path: String): Column = {
+    val segs = path.split('.')
+    require(segs.nonEmpty && segs.forall(_.nonEmpty),
+      s"invalid dotted path: '$path'")
+    segs.foldLeft(root)((c, f) => c.getField(f))
+  }
 
   /** Build the minimal nested StructType containing exactly the given
     * dotted paths, leaves typed `leafType` (reference
@@ -32,6 +36,9 @@ object DottedPath {
       .groupBy(_.head)
     StructType(grouped.toSeq.sortBy(_._1).map { case (head, ps) =>
       val tails = ps.collect { case _ :: rest if rest.nonEmpty => rest.mkString(".") }
+      val isAlsoLeaf = ps.exists(_.lengthCompare(1) == 0)
+      require(tails.isEmpty || !isAlsoLeaf,
+        s"conflicting paths: '$head' is both a leaf and a struct prefix")
       if (tails.isEmpty) StructField(head, leafType)
       else StructField(head, minimalSchema(tails, leafType))
     })

@@ -165,8 +165,10 @@ object Dedup {
         else {
           val setB = sb.toSet
           val common = sa.count(setB.contains)
-          val j = math.rint(common.toDouble /
-            (sa.length + sb.length - common) * 10000) / 10000
+          // HALF_UP to match jaccardPairs' Spark round() exactly
+          val j = BigDecimal(common.toDouble /
+            (sa.length + sb.length - common))
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
           if (j >= minJ) Iterator((idA, idB, j)) else Iterator.empty
         }
       })

@@ -103,7 +103,16 @@ class SnapshotStore(val root: String) {
       // target exists (ATOMIC_MOVE silently REPLACES an existing file on
       // Linux, which would lose a concurrent commit)
       try {
-        Files.createLink(snapPath(next.snapshot_id), tmp)
+        try Files.createLink(snapPath(next.snapshot_id), tmp)
+        catch {
+          case _: UnsupportedOperationException | _: java.nio.file.FileSystemException
+              if !Files.exists(snapPath(next.snapshot_id)) =>
+            // filesystems without hard links (FAT, some NFS/fuse):
+            // CREATE_NEW is still create-exclusive, only the publish is
+            // not single-syscall-atomic
+            Files.write(snapPath(next.snapshot_id), Files.readAllBytes(tmp),
+              java.nio.file.StandardOpenOption.CREATE_NEW)
+        }
         Files.deleteIfExists(tmp)
         return next
       } catch {

@@ -58,6 +58,13 @@ class PdfExtractorSpec extends AnyFunSuite with PropHelper {
     assert(PdfExtractor.extract("garbage with no positions") == "")
   }
 
+  test("invalid %-escapes pass through literally, never throw") {
+    assert(PdfExtractor.extract("a%G1@0,0") == "a%G1")
+    assert(PdfExtractor.extract("a%4@0,0") == "a%4") // truncated escape
+    assert(PdfExtractor.extract("%%41@0,0") == "%A") // literal % then %41
+    assert(PdfExtractor.extract("tail%@0,0") == "tail%")
+  }
+
   test("permutation invariance when keys are unique (property)") {
     // tokens on a grid: unique (y-bucket, x) keys
     val gTokens = for {
