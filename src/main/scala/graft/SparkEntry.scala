@@ -242,13 +242,21 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
-    "d3_minhash_neardups" -> ((s, dir) => { // no SQL oracle (LSH)
+    // oracle = the exact-Jaccard SQL at the same threshold: with
+    // (perms=64, bands=16, r=4) candidate recall at the testdata's true
+    // pair similarities (all j >= 0.9) is 1 - (1-0.9^4)^16 ~ 1 - 4e-8,
+    // and the verification stage is exact — so LSH output EQUALS the
+    // exact answer here and the driver can hash-compare it.
+    "d3_minhash_neardups" -> ((s, dir) => {
       Dedup.minhashNearDups(t(s, dir, "documents"), "text", "doc_id",
           n = 3, perms = 64, bands = 16, minJ = 0.2)
         .orderBy("id_a", "id_b")
     }),
 
-    "d4_simhash_neardups" -> ((s, dir) => { // no SQL oracle (signatures)
+    // exact by construction (pigeonhole blocking + hamming filter), so
+    // the oracle recomputes FNV-1a SimHash signatures in SQL and takes
+    // exact pairwise bit_count(xor) <= maxHamming.
+    "d4_simhash_neardups" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
           maxHamming = 12)
         .orderBy("id_a", "id_b")
@@ -351,6 +359,41 @@ object SparkEntry {
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
   private def discRev =
     "CAST(l_extendedprice AS DECIMAL(20,4)) * (1 - CAST(l_discount AS DECIMAL(10,4)))"
+
+  /** Exact n-gram Jaccard over documents in DuckDB SQL — the oracle for
+    * d2 (its own threshold) AND d3 (LSH recall saturates at testdata
+    * scale, so the LSH+verify output equals the exact answer).
+    */
+  private def jaccardOracle(minJ: Double): String =
+    s"""WITH toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         pairs AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh)
+         SELECT id_a, id_b,
+           round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
+         FROM pairs
+         JOIN sz sa ON sa.doc_id = id_a
+         JOIN sz sb ON sb.doc_id = id_b
+         WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= $minJ
+         ORDER BY id_a, id_b""".stripMargin
+
+  /** FNV-1a 64 over code points as a DuckDB HUGEINT fold — the exact
+    * mirror of graft.operators.Dedup.fnv1a64 (d4's signature hash).
+    */
+  private val fnvSql =
+    """CASE WHEN s = '' THEN 14695981039346656037::HUGEINT ELSE list_reduce(
+       list_prepend(14695981039346656037::HUGEINT,
+         list_transform(string_split(s, ''), c -> unicode(c)::HUGEINT)),
+       (acc, c) -> (CAST(xor(CAST(acc AS UBIGINT), CAST(c AS UBIGINT)) AS HUGEINT)
+                    * 1099511628211) % 18446744073709551616::HUGEINT) END"""
 
   def oracleSql: Map[String, String] = Map(
     "q1_pricing_summary" ->
@@ -479,26 +522,32 @@ object SparkEntry {
       s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY fp""",
 
-    "d2_ngram_jaccard" ->
+    "d3_minhash_neardups" -> jaccardOracle(0.2),
+
+    "d4_simhash_neardups" ->
       s"""WITH toks AS (
            SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
-         sh AS (
+         hs AS (
+           SELECT doc_id, list_transform(t, s -> $fnvSql) AS hl FROM toks),
+         sig AS (
            SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         pairs AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh)
-         SELECT id_a, id_b,
-           round(common * 1.0 / (sa.n + sb.n - common), 4) AS jaccard
-         FROM pairs
-         JOIN sz sa ON sa.doc_id = id_a
-         JOIN sz sb ON sb.doc_id = id_b
-         WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.5
+             CAST(CASE WHEN raw >= 9223372036854775808::HUGEINT
+                  THEN raw - 18446744073709551616::HUGEINT
+                  ELSE raw END AS BIGINT) AS sig
+           FROM (
+             SELECT doc_id, list_sum(list_transform(range(64), b ->
+               CASE WHEN list_sum(list_transform(hl, h ->
+                      CASE WHEN (CAST(h AS UBIGINT) >> CAST(b AS INT)) & 1 = 1
+                           THEN 1 ELSE -1 END)) > 0
+                    THEN CAST(2**b AS HUGEINT) ELSE 0::HUGEINT END)) AS raw
+             FROM hs))
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.sig, b.sig)) AS hamming
+         FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.sig, b.sig)) <= 12
          ORDER BY id_a, id_b""",
+
+    "d2_ngram_jaccard" -> jaccardOracle(0.5),
 
     "s1_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv

@@ -15,9 +15,10 @@ import org.apache.spark.sql.functions._
   *     only (doc_id, band, bandHash) rows are shuffled — never the text.
   *     Candidate verification joins shingles back only for the (tiny)
   *     deduplicated candidate set.
-  *   - SimHash: 64-bit signature per doc; pairs via 4-segment blocking
-  *     (pigeonhole: hamming<=3 over 64 bits => at least one identical
-  *     16-bit segment), so the self-join key is (segment, 16-bit value).
+  *   - SimHash: 64-bit signature per doc; pairs via (maxHamming+1)-
+  *     segment blocking (pigeonhole: <= maxHamming differing bits leave
+  *     at least one segment identical), so the self-join key is
+  *     (segment index, segment value) and recall is guaranteed.
   *   - n-gram Jaccard: exact pairwise scores via shingle explode +
   *     shingle-key join; intended for candidate verification or small
   *     corpora — the LSH paths are the 100TB route.
@@ -110,14 +111,16 @@ object Dedup {
   }
 
   /** MinHash+LSH near-duplicate candidate pairs, verified by exact
-    * shingle Jaccard. bands*rowsPerBand must equal perms. Returned ids
-    * are strings (cast from idCol).
+    * shingle Jaccard. bands*rowsPerBand must equal perms. Pair order
+    * (id_a < id_b) and returned id types follow the ORIGINAL id column
+    * type (same contract as jaccardPairs, so d2/d3 outputs join cleanly).
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, perms: Int = 64, bands: Int = 16,
       minJ: Double = 0.5): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val idType = docs.schema(idCol).dataType
     val rowsPerBand = perms / bands
     require(bands * rowsPerBand == perms, "bands must divide perms")
     val tokenized = docs.select(col(idCol).cast("string").as("doc_id"),
@@ -144,9 +147,11 @@ object Dedup {
         }
       })
       .toDF("doc_id", "band", "bh")
+    // pair ordering on the NATIVE id type — string compare would order
+    // ("10" < "2") and silently disagree with jaccardPairs on numeric ids
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
+          col("a.doc_id").cast(idType) < col("b.doc_id").cast(idType))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
     // verification: join raw tokens back and re-shingle ONLY the (tiny)
@@ -173,16 +178,34 @@ object Dedup {
         }
       })
       .toDF("id_a", "id_b", "jaccard")
+      .withColumn("id_a", col("id_a").cast(idType))
+      .withColumn("id_b", col("id_b").cast(idType))
+  }
+
+  /** FNV-1a 64-bit hash over code points. Chosen over murmur because it
+    * is a 6-op fold that an external SQL engine can replicate exactly
+    * (the DuckDB oracle for d4 re-implements this fold with HUGEINT
+    * arithmetic via list_reduce), making SimHash signatures — and hence
+    * exact hamming distances — independently verifiable end to end.
+    */
+  def fnv1a64(s: String): Long = {
+    var h = 0xCBF29CE484222325L // offset basis 14695981039346656037
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h ^ cp) * 0x100000001B3L // prime 1099511628211
+      i += Character.charCount(cp)
+    }
+    h
   }
 
   /** 64-bit SimHash of the token multiset (pure Scala kernel — exposed
-    * for the typed path and tests).
+    * for the typed path, tests, and the DuckDB oracle contract).
     */
   def simhash64(tokens: Iterable[String]): Long = {
     val acc = new Array[Int](64)
     tokens.foreach { t =>
-      val h = scala.util.hashing.MurmurHash3.stringHash(t, 0x9747b28c).toLong << 32 |
-        (scala.util.hashing.MurmurHash3.stringHash(t, 0x85ebca6b).toLong & 0xFFFFFFFFL)
+      val h = fnv1a64(t)
       var b = 0
       while (b < 64) {
         if (((h >>> b) & 1L) == 1L) acc(b) += 1 else acc(b) -= 1
@@ -200,24 +223,51 @@ object Dedup {
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming (<= 15),
-    * candidate generation via 4-segment pigeonhole blocking.
+  /** Bit segments for pigeonhole blocking: (maxHamming + 1) contiguous
+    * segments covering all 64 bits. Any pair at hamming <= maxHamming
+    * differs in at most maxHamming segments, so at least one of the
+    * (maxHamming + 1) segments is bit-identical — candidate recall is
+    * GUARANTEED, not heuristic. Returns (shift, mask) per segment.
+    *
+    * Scale note: wide thresholds mean narrow segments (h=12 -> 13
+    * segments of ~5 bits -> only 32 distinct values per position), so
+    * candidate volume grows; at 10^9 docs keep maxHamming <= 3 (4
+    * segments x 16 bits) and verify survivors with a cheaper metric.
+    */
+  def simhashSegments(maxHamming: Int): Seq[(Int, Long)] = {
+    require(maxHamming >= 0 && maxHamming <= 31,
+      "maxHamming must be in [0, 31] (segments need >= 2 bits)")
+    val s = maxHamming + 1
+    val widths = Seq.tabulate(s)(i => 64 / s + (if (i < 64 % s) 1 else 0))
+    val los = widths.scanLeft(0)(_ + _).init
+    los.zip(widths).map { case (lo, w) =>
+      (lo, if (w == 64) -1L else (1L << w) - 1L)
+    }
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming —
+    * EXACT output (recall guaranteed by pigeonhole blocking, precision
+    * by the explicit hamming filter).
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    require(maxHamming <= 15, "4-segment blocking covers hamming <= 3 " +
-      "guaranteed; up to 15 heuristically")
+    val idType = docs.schema(idCol).dataType
     val sigs = docs.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
       .mapPartitions(_.map { case (id, ts) => (id, simhash64(ts)) })
       .toDF("doc_id", "sig")
+      .withColumn("doc_id", col("doc_id").cast(idType))
+    // mask, never mod: % keeps the dividend's sign in Spark, so a
+    // negative signature's segment 0 would come out negative and never
+    // match its positive-signature twin (bit 63 must not leak into the
+    // low segment's join key)
     val seg = sigs.select($"doc_id", $"sig",
-      posexplode(array(Seq.tabulate(4)(i =>
-        (shiftrightunsigned($"sig", i * 16) % lit(65536)).cast("int")): _*))
-        .as(Seq("seg", "sv")))
+      posexplode(array(simhashSegments(maxHamming).map { case (lo, m) =>
+        shiftrightunsigned($"sig", lo).bitwiseAND(lit(m))
+      }: _*)).as(Seq("seg", "sv")))
     val ham = udfFreeHamming($"a.sig", $"b.sig")
     seg.as("a").join(seg.as("b"),
         $"a.seg" === $"b.seg" && $"a.sv" === $"b.sv" &&

@@ -42,14 +42,31 @@ class DedupSpec extends AnyFunSuite {
 
   test("minhash LSH recovers the jaccard pairs (recall on fixture)") {
     val truth = Dedup.jaccardPairs(corpus(), "text", "doc_id", 3, 0.5)
-      .collect().map(r => (r.getLong(0).toString, r.getLong(1).toString)).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val found = Dedup.minhashNearDups(corpus(), "text", "doc_id",
         n = 3, perms = 64, bands = 16, minJ = 0.5)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(found.subsetOf(truth)) // verification step guarantees precision
-    assert(found.contains(("1", "2"))) // exact dups always collide
+    assert(found.contains((1L, 2L))) // exact dups always collide
     val recall = found.size.toDouble / truth.size
     assert(recall >= 0.75, s"recall $recall, found=$found truth=$truth")
+  }
+
+  test("minhash pair order follows the native id type (2 < 10)") {
+    import spark.implicits._
+    val txt = "the quick brown fox jumps over the lazy dog near the river"
+    val docs = Seq((10L, txt), (2L, txt)).toDF("doc_id", "text")
+    val rows = Dedup.minhashNearDups(docs, "text", "doc_id", 3, 64, 16, 0.5)
+      .collect()
+    assert(rows.length == 1)
+    assert((rows.head.getLong(0), rows.head.getLong(1)) == (2L, 10L))
+  }
+
+  test("fnv1a64 matches the published FNV-1a test vectors") {
+    // public reference values (offset 0xCBF29CE484222325, prime 0x100000001B3)
+    assert(Dedup.fnv1a64("") == 0xCBF29CE484222325L)
+    assert(Dedup.fnv1a64("a") == 0xAF63DC4C8601EC8CL)
+    assert(Dedup.fnv1a64("foobar") == 0x85944171F73967E8L)
   }
 
   test("simhash: identical texts at distance 0, near texts close") {
@@ -57,7 +74,48 @@ class DedupSpec extends AnyFunSuite {
     val b = Dedup.simhash64("the quick brown fox".split(" "))
     assert(Dedup.hamming64(a, b) == 0)
     val pairs = Dedup.simhashNearDups(corpus(), "text", "doc_id", maxHamming = 12)
-      .collect().map(r => (r.getString(0), r.getString(1))).toSet
-    assert(pairs.contains(("1", "2"))) // exact dup at hamming 0
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L))) // exact dup at hamming 0
+  }
+
+  test("simhash segments cover all 64 bits, maxHamming+1 of them") {
+    for (h <- Seq(0, 3, 12, 31)) {
+      val segs = Dedup.simhashSegments(h)
+      assert(segs.length == h + 1)
+      val bits = segs.flatMap { case (lo, m) =>
+        (0 until 64).filter(b => b >= lo && ((m >>> (b - lo)) & 1L) == 1L
+          && b - lo < 64)
+      }
+      assert(bits.sorted == (0 until 64), s"h=$h segments=$segs")
+    }
+  }
+
+  test("simhash blocking is EXACT vs brute-force hamming (incl. sign bit)") {
+    import spark.implicits._
+    // corpus engineered for negative + positive signatures and a range
+    // of distances (pigeonhole guarantee must not depend on bit 63)
+    val docs = (0L until 40L).map { i =>
+      val base = s"alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        s"lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val mut = base.split(" ").zipWithIndex.map { case (w, j) =>
+        if (j < i % 7) s"w${i}x$j" else w
+      }.mkString(" ")
+      (i, mut)
+    }.toDF("doc_id", "text")
+    val maxH = 12
+    val got = Dedup.simhashNearDups(docs, "text", "doc_id", maxH)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force over collected signatures
+    val sigs = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+")
+      (r.getLong(0), Dedup.simhash64(toks))
+    }
+    assert(sigs.exists(_._2 < 0) && sigs.exists(_._2 > 0),
+      "fixture must exercise both signature signs")
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = Dedup.hamming64(sa, sb) if h <= maxH
+    } yield (ia, ib, h)).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 }
