@@ -271,7 +271,11 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
-    "s2_ann_lsh" -> ((s, dir) => { // no SQL oracle (LSH path)
+    // the LCG hyperplanes are integer-exact in any engine, so the
+    // oracle reimplements the FULL LSH path (buckets, hamming-1 probes,
+    // candidate top-k) in SQL — it verifies the approximate semantics
+    // themselves, not just a lucky recall-saturated case.
+    "s2_ann_lsh" -> ((s, dir) => {
       import s.implicits._
       val emb = t(s, dir, "embeddings")
       Similarity.lshTopK(emb, emb.filter($"vec_id" < 3),
@@ -279,9 +283,14 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
-    "s3_cosine_neardups" -> ((s, dir) => { // no SQL oracle (LSH blocking)
+    // banded multi-table LSH sized for full recall at this threshold
+    // and scale: p = 1 - acos(0.2)/pi = 0.564 per plane, so a
+    // qualifying pair misses all 48 2-plane tables with probability
+    // (1 - 0.564^2)^48 ~ 1e-8 — the output EQUALS the exact cosine
+    // pair set and the oracle is the exact-cosine SQL.
+    "s3_cosine_neardups" -> ((s, dir) => {
       Similarity.cosineNearDups(t(s, dir, "embeddings"),
-          "embedding", "vec_id", minCos = 0.2, planes = 5)
+          "embedding", "vec_id", minCos = 0.2, planes = 2, tables = 48)
         .orderBy("id_a", "id_b")
     }),
 
@@ -384,6 +393,35 @@ object SparkEntry {
          JOIN sz sb ON sb.doc_id = id_b
          WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= $minJ
          ORDER BY id_a, id_b""".stripMargin
+
+  /** Hyperplane + bucket CTEs — exact mirror of
+    * Similarity.planeComponent (SplitMix64 finalizer; 64-bit wraparound
+    * multiplication done as HUGEINT hi/lo split) and Similarity.bucketOf
+    * (list_dot_product accumulates left-to-right, same as the kernel
+    * loop — verified bit-identical). Expects a CTE `e(vec_id, v)` with
+    * v DOUBLE[]; defines `b(vec_id, v, bucket)`.
+    */
+  private def bucketCtes(planes: Int, dim: Int): String =
+    s"""grid AS (SELECT p, i,
+       (p * 4294967296 + i + 11400714819323198485::HUGEINT) % 18446744073709551616::HUGEINT AS z1,
+       CAST(xor(CAST(z1 AS UBIGINT), CAST(z1 AS UBIGINT) >> 30) AS HUGEINT) AS x1,
+       ((x1 * 484763065) % 18446744073709551616::HUGEINT
+         + ((x1 * 3210233709) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS z2,
+       CAST(xor(CAST(z2 AS UBIGINT), CAST(z2 AS UBIGINT) >> 27) AS HUGEINT) AS x2,
+       ((x2 * 321982955) % 18446744073709551616::HUGEINT
+         + ((x2 * 2496678331) % 4294967296) * 4294967296) % 18446744073709551616::HUGEINT AS z3,
+       xor(CAST(z3 AS UBIGINT), CAST(z3 AS UBIGINT) >> 31) AS z4,
+       CAST(z4 >> 11 AS DOUBLE) / 4503599627370496.0 - 1.0 AS comp
+       FROM range($planes) t1(p), range($dim) t2(i)),
+     pl AS (SELECT p, list(comp ORDER BY i) AS plane FROM grid GROUP BY p),
+     bk AS (SELECT vec_id, CAST(sum(CASE WHEN list_dot_product(v, plane) >= 0
+              THEN CAST(2**p AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+            FROM e, pl GROUP BY vec_id),
+     b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))"""
+
+  private def cosSql(a: String, b: String): String =
+    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b))), 6)"
 
   /** FNV-1a 64 over code points as a DuckDB HUGEINT fold — the exact
     * mirror of graft.operators.Dedup.fnv1a64 (d4's signature hash).
@@ -564,6 +602,29 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, score, rk FROM ranked WHERE rk <= 10
          ORDER BY query_id, rk""",
+
+    "s2_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         ${bucketCtes(6, 64)},
+         q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM b WHERE vec_id < 3),
+         pr AS (SELECT query_id, qv,
+                  unnest(list_prepend(qb, list_transform(range(6), fp ->
+                    xor(qb, CAST(2**fp AS BIGINT))))) AS bucket FROM q),
+         cand AS (SELECT pr.query_id, pr.qv, b.vec_id, b.v
+                  FROM pr JOIN b USING (bucket) WHERE b.vec_id <> pr.query_id),
+         scored AS (SELECT query_id, vec_id, ${cosSql("qv", "v")} AS score FROM cand),
+         ranked AS (SELECT query_id, vec_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS rk FROM scored)
+         SELECT query_id, vec_id, score, rk FROM ranked WHERE rk <= 10
+         ORDER BY query_id, rk""",
+
+    "s3_cosine_neardups" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+         SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS score
+         FROM e a JOIN e b ON a.vec_id < b.vec_id
+         WHERE ${cosSql("a.v", "b.v")} >= 0.2
+         ORDER BY id_a, id_b""",
 
     "e1_embedding_norms" ->
       """SELECT vec_id, len(embedding) AS dim,

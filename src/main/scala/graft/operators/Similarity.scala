@@ -1,25 +1,137 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Similarity search over an embedding column (array<float>).
   *
-  * Baseline: brute-force cosine top-k (exact; broadcast the query set,
-  * one scan of the corpus, per-query top-k via window — no shuffle of
-  * the corpus itself beyond the top-k aggregation).
-  *
-  * Scale path: random-hyperplane LSH — each vector maps to a `planes`-bit
-  * bucket computed scan-side; queries probe only their own bucket
-  * (optionally multi-probe). At 10^9 vectors the bucket join shuffles
-  * only (bucket, id, vec-of-query-candidates), not the full cross
-  * product.
+  * Design for 10^9+ vectors:
+  *   - All per-vector math (cosine, hyperplane buckets) runs in plain
+  *     Scala kernels inside typed mapPartitions: Spark's array HOFs are
+  *     interpreted, not codegen'd, and re-evaluate per element (measured
+  *     10x+ slower on this exact workload — see Dedup's MinHash note).
+  *   - Top-k is TWO-PHASE: each input partition keeps a bounded
+  *     (score, id) heap per query and emits at most |queries| * k rows,
+  *     so the only exchange moves <= partitions * |queries| * k rows —
+  *     never the scored corpus. A single window over the full cross
+  *     score would funnel 10^9 rows into <= |queries| partitions.
+  *   - LSH buckets corpus-side are computed in the same scan (one pass,
+  *     ids + 1 long shuffled, never vectors); queries + their probe
+  *     buckets are broadcast.
+  *   - Hyperplane components come from a 2-step LCG on (plane, dim)
+  *     index — integer-only, so an external SQL engine can replicate
+  *     buckets EXACTLY (the DuckDB oracles for s2/s3 do; that is the
+  *     point of not using scala MurmurHash here).
+  *   - Near-dup blocking is banded multi-table LSH (`tables` x `planes`
+  *     sign bits): recall for pairs at cosine c is
+  *     1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi, so tables is
+  *     the recall lever and planes the cost lever. Oversized buckets
+  *     (dense hubs) are re-split by extension planes when maxBucket > 0.
   */
 object Similarity {
 
-  /** Cosine similarity between two array<float/double> columns — pure
-    * HOFs (zip_with + aggregate), stays in codegen.
+  // ------------------------------------------------------------- kernels
+
+  /** Deterministic hyperplane component for (plane p, dimension i):
+    * the SplitMix64 finalizer (Steele et al., OOPSLA 2014 — public
+    * constants) of the packed index, scaled to [-1, 1). An LCG over
+    * consecutive seeds is linear in the seed and its "hyperplanes" form
+    * a correlated lattice (measured: real recall far below the
+    * independent-plane formula); the multiply-xorshift mixer breaks
+    * that. Integer ops are mod-2^64 exact and the final division by
+    * 2^52 is a power of two, so any engine with 64-bit integer
+    * semantics reproduces every component bit for bit (the DuckDB
+    * oracle does, via HUGEINT split-multiplication).
+    */
+  def planeComponent(p: Int, i: Int): Double = {
+    var z = (p.toLong << 32) + i.toLong + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^= (z >>> 31)
+    (z >>> 11).toDouble / 4503599627370496.0 - 1.0
+  }
+
+  def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(planes, dim)(planeComponent)
+
+  /** Raw cosine, strict left-to-right accumulation (matches both the
+    * previous HOF implementation and DuckDB's list_dot_product order,
+    * keeping scores bit-identical across engines).
+    */
+  def rawCosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** HALF_UP rounding with Spark round() semantics (BigDecimal over the
+    * shortest decimal representation). Non-finite values pass through.
+    */
+  def round6(v: Double): Double =
+    if (java.lang.Double.isFinite(v))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else v
+
+  def roundedCosine(a: Array[Float], b: Array[Float]): Double =
+    round6(rawCosine(a, b))
+
+  /** Sign-pattern bucket of `k` hyperplanes starting at matrix row
+    * `off`; bit p set iff dot(v, plane off+p) >= 0.
+    */
+  def bucketOf(v: Array[Float], mat: Array[Array[Double]],
+      off: Int, k: Int): Long = {
+    var b = 0L; var p = 0
+    while (p < k) {
+      val row = mat(off + p)
+      var dot = 0.0; var i = 0
+      while (i < v.length) { dot += v(i).toDouble * row(i); i += 1 }
+      if (dot >= 0) b |= (1L << p)
+      p += 1
+    }
+    b
+  }
+
+  /** Bounded top-k heap: keeps the k best by (score desc, id asc).
+    * Double.compare puts NaN above all reals — the same total order
+    * Spark's `desc` uses, so zero-norm vectors rank identically to the
+    * window-based implementation.
+    */
+  private final class TopKHeap[I](k: Int)(implicit ord: Ordering[I]) {
+    // worst-first queue: head = lowest score, ties broken by LARGER id
+    private val pq = new java.util.PriorityQueue[(Double, I)](k + 1,
+      (x: (Double, I), y: (Double, I)) => {
+        val c = java.lang.Double.compare(x._1, y._1)
+        if (c != 0) c else ord.compare(y._2, x._2)
+      })
+    def offer(score: Double, id: I): Unit =
+      if (pq.size < k) { pq.add((score, id)); () }
+      else {
+        val w = pq.peek()
+        val c = java.lang.Double.compare(score, w._1)
+        if (c > 0 || (c == 0 && ord.compare(id, w._2) < 0)) {
+          pq.poll(); pq.add((score, id)); ()
+        }
+      }
+    def drain: Iterator[(Double, I)] = {
+      val out = new Array[Any](pq.size)
+      var i = 0
+      val it = pq.iterator()
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      out.iterator.map(_.asInstanceOf[(Double, I)])
+    }
+  }
+
+  // ------------------------------------------------- Column-level helpers
+
+  /** Cosine similarity as a Column (interop/API completeness — the
+    * operators below use the JIT kernel instead; array HOFs are
+    * interpreted and belong off the hot path).
     */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(zip_with(a, b, (x, y) =>
@@ -32,81 +144,227 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (s, x) => s + x.cast("double") * x.cast("double")))
 
-  /** Brute-force cosine top-k: for each query vector, the k nearest
-    * corpus vectors (excluding self-match on id). Query set must be
-    * small (it is broadcast).
+  // ------------------------------------------------------------ operators
+
+  private def sqlNameOf(idType: DataType): String = idType match {
+    case LongType | IntegerType | ShortType | ByteType => "long"
+    case StringType => "string"
+    case other => throw new IllegalArgumentException(
+      s"unsupported id type for similarity ops: $other")
+  }
+
+  /** Per-partition bounded top-k over (query_id, qv, vec_id, v) pairs,
+    * then a final merge window over <= partitions * |queries| * k rows.
+    */
+  private def partialTopK[I](ds: Dataset[(I, Array[Float], I, Array[Float])],
+      k: Int)(implicit ord: Ordering[I],
+      enc: Encoder[(I, I, Double)]): Dataset[(I, I, Double)] =
+    ds.mapPartitions { it =>
+      val heaps = scala.collection.mutable.HashMap.empty[I, TopKHeap[I]]
+      it.foreach { case (qid, qv, vid, v) =>
+        heaps.getOrElseUpdate(qid, new TopKHeap[I](k))
+          .offer(roundedCosine(qv, v), vid)
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.drain.map { case (s, vid) => (qid, vid, s) }
+      }
+    }
+
+  private def finalizeTopK(partial: DataFrame, idType: DataType,
+      k: Int): DataFrame = {
+    // the window input is bounded by partitions * |queries| * k — this
+    // is the tiny merge, not a corpus-wide shuffle
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("vec_id"))
+    partial.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col("query_id").cast(idType).as("query_id"),
+        col("vec_id").cast(idType).as("vec_id"), col("score"), col("rk"))
+  }
+
+  /** Brute-force cosine top-k: exact; one corpus scan, queries broadcast
+    * (query set must be small by contract), per-partition heaps, tiny
+    * merge. No corpus-sized shuffle anywhere.
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame,
       vecCol: String, idCol: String, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col(idCol).as("query_id"),
-      col(vecCol).as("qv")))
-    val scored = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idType = corpus.schema(idCol).dataType
+    val idSql = sqlNameOf(idType)
+    val q = broadcast(queries.select(
+      col(idCol).cast(idSql).as("query_id"), col(vecCol).as("qv")))
+    val pairs = corpus.select(
+        col(idCol).cast(idSql).as("vec_id"), col(vecCol).as("v"))
       .join(q, col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("v")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("score"), col("rk"))
-  }
-
-  /** Deterministic pseudo-random hyperplane component for (plane, dim):
-    * a fixed integer hash scaled to [-1, 1). No RNG state — reproducible
-    * across executors by construction.
-    */
-  private def planeComponent(plane: Int, d: Column): Column =
-    (hash(lit(plane), d).cast("double") / lit(Int.MaxValue.toDouble))
-
-  /** LSH bucket id: sign pattern of `planes` random hyperplanes. */
-  def lshBucket(vec: Column, planes: Int): Column = {
-    val bits = Seq.tabulate(planes) { p =>
-      val dot = aggregate(
-        zip_with(vec, sequence(lit(0), size(vec) - 1), (x, i) =>
-          x.cast("double") * planeComponent(p, i)),
-        lit(0.0), _ + _)
-      when(dot >= 0, lit(1L << p)).otherwise(lit(0L))
+      .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+    val partial = idType match {
+      case StringType => partialTopK[String](
+        pairs.as[(String, Array[Float], String, Array[Float])], k)
+        .toDF("query_id", "vec_id", "score")
+      case _ => partialTopK[Long](
+        pairs.as[(Long, Array[Float], Long, Array[Float])], k)
+        .toDF("query_id", "vec_id", "score")
     }
-    bits.reduce((a, b) => a.bitwiseOR(b))
+    finalizeTopK(partial, idType, k)
   }
 
-  /** LSH-bucketed approximate top-k with multi-probe: the query probes
-    * its own bucket plus every bucket at hamming distance 1 (flip one
-    * plane bit) — the standard recall/cost lever. Candidate set size is
-    * ~ (planes+1)/2^planes of the corpus per query. Recall measured
-    * against bruteForceTopK in tests.
+  /** LSH-bucketed approximate top-k with multi-probe: every corpus
+    * vector gets a `planes`-bit sign bucket in the scan (kernel, one
+    * pass); each query probes its own bucket plus all hamming-1 buckets.
+    * The probe table (|queries| * (planes+1) rows) is broadcast, so the
+    * candidate join never shuffles the corpus; candidates then flow
+    * through the same two-phase top-k.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
       idCol: String, k: Int, planes: Int = 8): DataFrame = {
-    val cb = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    val probes = explode(array(
-      (lit(0L) +: Seq.tabulate(planes)(p => lit(1L << p))): _*))
-    val qb = broadcast(queries.select(col(idCol).as("query_id"),
-        col(vecCol).as("qv"), lshBucket(col(vecCol), planes).as("qbucket"))
-      .withColumn("flip", probes)
-      .withColumn("bucket", col("qbucket").bitwiseXOR(col("flip")))
-      .drop("qbucket", "flip"))
-    val scored = cb.join(qb, Seq("bucket"))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("score", round(cosine(col("qv"), col("v")), 6))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("vec_id"))
-    scored.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= k)
-      .select(col("query_id"), col("vec_id"), col("score"), col("rk"))
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idType = corpus.schema(idCol).dataType
+    val idSql = sqlNameOf(idType)
+
+    def run[I](implicit ord: Ordering[I],
+        e1: Encoder[(I, Array[Float])],
+        e2: Encoder[(I, Array[Float], Long)],
+        e3: Encoder[(I, I, Double)],
+        e4: Encoder[(I, Array[Float], I, Array[Float])]): DataFrame = {
+      val cb = corpus
+        .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
+        .as[(I, Array[Float])]
+        .mapPartitions { it =>
+          var mat: Array[Array[Double]] = null
+          it.map { case (id, v) =>
+            if (mat == null) mat = planeMatrix(planes, v.length)
+            (id, v, bucketOf(v, mat, 0, planes))
+          }
+        }.toDF("vec_id", "v", "bucket")
+      val qp = broadcast(queries
+        .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
+        .as[(I, Array[Float])]
+        .mapPartitions { it =>
+          var mat: Array[Array[Double]] = null
+          it.flatMap { case (id, v) =>
+            if (mat == null) mat = planeMatrix(planes, v.length)
+            val qb = bucketOf(v, mat, 0, planes)
+            (qb +: Seq.tabulate(planes)(p => qb ^ (1L << p)))
+              .iterator.map(b => (id, v, b))
+          }
+        }.toDF("query_id", "qv", "bucket"))
+      val pairs = cb.join(qp, "bucket")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      finalizeTopK(partialTopK[I](
+          pairs.as[(I, Array[Float], I, Array[Float])], k)
+        .toDF("query_id", "vec_id", "score"), idType, k)
+    }
+
+    idType match {
+      case StringType => run[String]
+      case _ => run[Long]
+    }
   }
 
-  /** Embedding-cosine near-duplicate pairs (score >= minCos) via LSH
-    * blocking: only same-bucket pairs are scored.
+  /** Embedding-cosine near-duplicate pairs (rounded score >= minCos)
+    * via banded multi-table hyperplane LSH: `tables` independent
+    * `planes`-bit bucketings; a pair is a candidate if it collides in
+    * ANY table; candidates (ids only — vectors are joined back just for
+    * the surviving pair set) are verified with the exact cosine kernel.
+    *
+    * maxBucket > 0 bounds per-bucket pair blowup on dense hubs: buckets
+    * larger than maxBucket are re-split by ceil(log2(n/maxBucket))
+    * extension-plane bits (up to 16), computed in the same scan — the
+    * deterministic equivalent of AQE's skew split for self-joins.
     */
+  private val ExtPlanes = 16
+
+  /** Banded bucket assignment (id, tbl, bucket) for multi-table LSH,
+    * with optional skew defense: when maxBucket > 0, buckets larger
+    * than maxBucket are re-split by ceil(log2(n/maxBucket)) extension
+    * plane bits (computed in the same scan — only the small oversize
+    * list is broadcast back). Ids are normalized to long/string.
+    */
+  def bandedBuckets(corpus: DataFrame, vecCol: String, idCol: String,
+      planes: Int, tables: Int, maxBucket: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idSql = sqlNameOf(corpus.schema(idCol).dataType)
+
+    def run[I](implicit e1: Encoder[(I, Array[Float])],
+        e2: Encoder[(I, Int, Long, Long)]): DataFrame = {
+      val banded = corpus
+        .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
+        .as[(I, Array[Float])]
+        .mapPartitions { it =>
+          var mat: Array[Array[Double]] = null
+          it.flatMap { case (id, v) =>
+            if (mat == null)
+              mat = planeMatrix(tables * planes + ExtPlanes, v.length)
+            val ext = bucketOf(v, mat, tables * planes, ExtPlanes)
+            (0 until tables).iterator.map(t =>
+              (id, t, bucketOf(v, mat, t * planes, planes), ext))
+          }
+        }.toDF("id", "tbl", "bucket", "ext")
+      if (maxBucket <= 0) banded.select("id", "tbl", "bucket")
+      else {
+        val over = broadcast(
+          banded.groupBy(col("tbl"), col("bucket"))
+            .agg(count(lit(1)).as("n"))
+            .filter(col("n") > maxBucket)
+            .select(col("tbl"), col("bucket"),
+              least(ceil(log2(col("n").cast("double") / maxBucket)),
+                lit(ExtPlanes)).cast("int").as("depth")))
+        banded.join(over, Seq("tbl", "bucket"), "left")
+          .withColumn("bucket", when(col("depth").isNull, col("bucket"))
+            .otherwise(expr(
+              "shiftleft(bucket, depth) | (ext & (shiftleft(1L, depth) - 1L))")))
+          .select("id", "tbl", "bucket")
+      }
+    }
+
+    corpus.schema(idCol).dataType match {
+      case StringType => run[String]
+      case _ => run[Long]
+    }
+  }
+
   def cosineNearDups(corpus: DataFrame, vecCol: String, idCol: String,
-      minCos: Double, planes: Int = 8): DataFrame = {
-    val cb = corpus.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshBucket(col(vecCol), planes).as("bucket"))
-    cb.as("a").join(cb.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("score", round(cosine(col("a.v"), col("b.v")), 6))
-      .filter(col("score") >= minCos)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("score"))
+      minCos: Double, planes: Int = 8, tables: Int = 8,
+      maxBucket: Int = 0): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idType = corpus.schema(idCol).dataType
+    val idSql = sqlNameOf(idType)
+    val keyed = bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket)
+    // candidate pairs carry IDS ONLY — vectors are joined back just for
+    // the surviving pair set
+    val cand = keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val vecs = corpus.select(col(idCol).cast(idSql).as("id"),
+      col(vecCol).as("v"))
+
+    def verify[I](implicit ord: Ordering[I],
+        e3: Encoder[(I, I, Double)],
+        e4: Encoder[(I, I, Array[Float], Array[Float])]): DataFrame =
+      cand
+        .join(vecs.select(col("id").as("id_a"), col("v").as("va")), "id_a")
+        .join(vecs.select(col("id").as("id_b"), col("v").as("vb")), "id_b")
+        .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+        .as[(I, I, Array[Float], Array[Float])]
+        .mapPartitions(_.flatMap { case (ia, ib, va, vb) =>
+          val s = roundedCosine(va, vb)
+          if (s >= minCos) Iterator((ia, ib, s)) else Iterator.empty
+        })
+        .toDF("id_a", "id_b", "score")
+        .select(col("id_a").cast(idType).as("id_a"),
+          col("id_b").cast(idType).as("id_b"), col("score"))
+
+    idType match {
+      case StringType => verify[String]
+      case _ => verify[Long]
+    }
   }
 }

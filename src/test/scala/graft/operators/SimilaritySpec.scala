@@ -66,4 +66,62 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(pairs.exists(p => p._1 == 0L && p._2 == 3L && p._3 == 1.0))
   }
+
+  /** Deterministic spread corpus. With planes=1 per table every table
+    * has only 2 buckets, so each bucket holds ~half the corpus — the
+    * low-planes analog of a skewed hub, but separable by extension
+    * planes (a cluster of literally identical vectors is NOT separable
+    * by any plane; that pathological case is exact-dedup's job).
+    */
+  private def spread(n: Int, dim: Int = 16) = {
+    import spark.implicits._
+    def u(s: Long): Float = { // splitmix-ish deterministic noise [-1, 1)
+      val z = s * 0x9E3779B97F4A7C15L
+      ((z >>> 11).toDouble / 4503599627370496.0 - 1.0).toFloat
+    }
+    (0 until n).map { i =>
+      (i.toLong, Array.tabulate(dim)(d => u((i + 7L) * dim + d)).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("bucket cap re-splits oversized buckets: bounded, subset output") {
+    val docs = spread(200)
+    val free = Similarity.bandedBuckets(docs, "embedding", "vec_id",
+      planes = 1, tables = 4)
+    val maxFree = free.groupBy("tbl", "bucket").count()
+      .agg(max("count")).head.getLong(0)
+    assert(maxFree >= 80, s"fixture not skewed enough: $maxFree")
+    val capped = Similarity.bandedBuckets(docs, "embedding", "vec_id",
+      planes = 1, tables = 4, maxBucket = 20)
+    val maxCapped = capped.groupBy("tbl", "bucket").count()
+      .agg(max("count")).head.getLong(0)
+    // re-split by ceil(log2(n/cap)) extension bits bounds the bucket to
+    // ~cap in expectation; allow 3x slack for uneven splits
+    assert(maxCapped <= 60, s"cap did not bound buckets: $maxCapped")
+    // capped candidates are a subset => capped output is a subset
+    val full = Similarity.cosineNearDups(docs, "embedding", "vec_id",
+        minCos = 0.2, planes = 1, tables = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cap = Similarity.cosineNearDups(docs, "embedding", "vec_id",
+        minCos = 0.2, planes = 1, tables = 4, maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cap.subsetOf(full))
+    assert(cap.nonEmpty)
+  }
+
+  test("top-k is two-phase: kernel pruning before the merge window") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = Similarity.bruteForceTopK(emb, emb.filter($"vec_id" < 3),
+      "embedding", "vec_id", 10)
+    val plan = df.queryExecution.executedPlan.toString
+    // the scored corpus is reduced inside mapPartitions (object path =>
+    // SerializeFromObject) before any Exchange/Window merge
+    assert(plan.contains("SerializeFromObject"), plan)
+    assert(plan.contains("Window"), plan)
+    val serIdx = plan.indexOf("SerializeFromObject")
+    val winIdx = plan.indexOf("Window")
+    assert(winIdx < serIdx, // tree prints parents first: Window consumes the kernel output
+      s"Window should sit above the kernel stage:\n$plan")
+  }
 }
