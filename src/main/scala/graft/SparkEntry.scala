@@ -323,37 +323,39 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------------- extraction
-    "p2_field_extract" -> ((s, dir) => { // no SQL oracle (pipeline input)
+    // p2/p3 run the REAL FieldExtract operator (patterns, validity,
+    // completeness) over a certificate-style text constructed
+    // deterministically from documents columns — identical construction
+    // on the DuckDB side makes the full extraction semantics
+    // driver-verifiable (the pipeline-fed variant of the same operator
+    // is exercised by PipelineGoldenSpec / RendererFieldSpec).
+    "p2_field_extract" -> ((s, dir) => {
       import s.implicits._
-      val img = extracted300(s)
-        .select($"doc_id", explode($"spans").as("s"))
-        .filter($"s.kind" === "image")
-        .select($"doc_id", $"s.order".as("ord"), $"s.text".as("text"))
+      val src = t(s, dir, "documents")
+        .select($"doc_id", certText($"doc_id", $"n_chars", $"lang").as("text"))
       val cols = graft.functions.FieldExtract.fields($"text")
         .map { case (n, c) => c.as(n) }
-      img.select(Seq($"doc_id", $"ord") ++ cols :+
+      src.select(Seq($"doc_id") ++ cols :+
           graft.functions.FieldExtract.completeness($"text").as("completeness"): _*)
-        .orderBy($"doc_id", $"ord")
+        .orderBy($"doc_id")
     }),
 
-    "p3_run_analysis" -> ((s, dir) => { // no SQL oracle (pipeline input)
+    "p3_run_analysis" -> ((s, dir) => {
       // reference A2/A3: run-level success rate + per-field hit rates
-      // (test_sustainability_reports.py:173-194, :229-238)
+      // (test_sustainability_reports.py:173-194, :229-238); success =
+      // completeness >= 50 over the certificate fixture
       import s.implicits._
-      val imgText = extracted300(s)
-        .select($"doc_id", $"success",
-          array_join(transform(
-            filter($"spans", sp => sp.getField("kind") === "image"),
-            sp => sp.getField("text")), "\n").as("text"))
-      val hits = graft.functions.FieldExtract.fields($"text").map {
-        case (n, c) =>
-          round(avg(when(graft.functions.FieldExtract.isValid(c), 1.0)
-            .otherwise(0.0)) * 100, 2).as(s"hit_$n")
+      val fe = graft.functions.FieldExtract
+      val src = t(s, dir, "documents")
+        .select($"doc_id", certText($"doc_id", $"n_chars", $"lang").as("text"))
+      val hits = fe.fields($"text").map { case (n, c) =>
+        round(avg(when(fe.isValid(c), 1.0).otherwise(0.0)) * 100, 2)
+          .as(s"hit_$n")
       }
       val aggs = Seq(
-        round(avg(when($"success", 1.0).otherwise(0.0)) * 100, 2)
+        round(avg(when(fe.completeness($"text") >= 50, 1.0).otherwise(0.0)) * 100, 2)
           .as("success_rate_pct")) ++ hits
-      imgText.agg(count(lit(1)).as("n_docs"), aggs: _*)
+      src.agg(count(lit(1)).as("n_docs"), aggs: _*)
     }),
 
     "p1_extract_pipeline" -> ((s, dir) => { // no SQL oracle (pipeline)
@@ -363,6 +365,46 @@ object SparkEntry {
           $"success")
         .orderBy($"doc_id")
     }))
+
+  /** Certificate-style fixture text from documents columns (p2/p3):
+    * every numeric stays below 1900 so the `annee` year regex can only
+    * match the Issued line; moduli 11/7/5/3/13 drop individual fields
+    * so validity and completeness take all values.
+    */
+  private def certText(docId: Column, nChars: Column, lang: Column): Column =
+    concat(
+      lit("Product: "),
+      when(docId % 11 === 0, lit("null"))
+        .otherwise(concat(lit("P-"), docId)),
+      when(docId % 7 === 0, lit("")).otherwise(
+        concat(lit("\nTotal Lifecycle Carbon: "), nChars % 800, lit(".25"))),
+      when(docId % 5 === 0, lit("")).otherwise(
+        concat(lit("\nEnergy Consumption: "), nChars % 500, lit(".5"))),
+      when(docId % 3 === 0, lit("")).otherwise(
+        concat(lit("\nWeight: "), docId % 40 + 1)),
+      when(docId % 13 === 0, lit("")).otherwise(
+        concat(lit("\nCertified by "), upper(lang), lit(" Labs"))),
+      lit("\nIssued "), docId % 30 + 1990)
+
+  /** The exact same construction in DuckDB SQL. */
+  private val certSql =
+    """'Product: ' || CASE WHEN doc_id % 11 = 0 THEN 'null' ELSE 'P-' || doc_id END
+     || CASE WHEN doc_id % 7 = 0 THEN '' ELSE chr(10) || 'Total Lifecycle Carbon: ' || (n_chars % 800) || '.25' END
+     || CASE WHEN doc_id % 5 = 0 THEN '' ELSE chr(10) || 'Energy Consumption: ' || (n_chars % 500) || '.5' END
+     || CASE WHEN doc_id % 3 = 0 THEN '' ELSE chr(10) || 'Weight: ' || (doc_id % 40 + 1) END
+     || CASE WHEN doc_id % 13 = 0 THEN '' ELSE chr(10) || 'Certified by ' || upper(lang) || ' Labs' END
+     || chr(10) || 'Issued ' || (doc_id % 30 + 1990)"""
+
+  /** FieldExtract.FieldPatterns re-expressed for DuckDB (same regexes,
+    * same trim/blank->null semantics).
+    */
+  private val fieldSql: Seq[(String, String)] =
+    graft.functions.FieldExtract.FieldPatterns.map { case (name, pat) =>
+      name -> s"nullif(trim(regexp_extract(text, '$pat', 1)), '')"
+    }
+
+  private def validSql(f: String): String =
+    s"($f IS NOT NULL AND lower(trim($f)) <> 'null' AND length(trim($f)) > 0)"
 
   private val norm =
     "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
@@ -637,5 +679,28 @@ object SparkEntry {
          octet_length(encode(text)) % 480 + 16 AS height,
          octet_length(encode(text)) % 3 + 1 AS channels,
          octet_length(encode(text)) AS n_bytes
-         FROM documents ORDER BY 1""")
+         FROM documents ORDER BY 1""",
+
+    "p2_field_extract" ->
+      s"""WITH src AS (SELECT doc_id, $certSql AS text FROM documents),
+         f AS (SELECT doc_id,
+           ${fieldSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n           ")}
+           FROM src)
+         SELECT doc_id,
+           ${fieldSql.map(_._1).mkString(", ")},
+           round(CAST((${fieldSql.map(f => s"CASE WHEN ${validSql(f._1)} THEN 1 ELSE 0 END").mkString(" + ")}) AS DOUBLE) / 6 * 100, 2) AS completeness
+         FROM f ORDER BY doc_id""",
+
+    "p3_run_analysis" ->
+      s"""WITH src AS (SELECT doc_id, $certSql AS text FROM documents),
+         f AS (SELECT doc_id,
+           ${fieldSql.map { case (n, e) => s"$e AS $n" }.mkString(",\n           ")},
+           round(CAST((${fieldSql.map(f => s"CASE WHEN ${validSql(f._2)} THEN 1 ELSE 0 END").mkString(" + ")}) AS DOUBLE) / 6 * 100, 2) AS compl
+           FROM src)
+         SELECT count(*) AS n_docs,
+           round(avg(CASE WHEN compl >= 50 THEN 1.0 ELSE 0.0 END) * 100, 2) AS success_rate_pct,
+           ${fieldSql.map { case (n, _) =>
+             s"round(avg(CASE WHEN ${validSql(n)} THEN 1.0 ELSE 0.0 END) * 100, 2) AS hit_$n"
+           }.mkString(",\n           ")}
+         FROM f""")
 }
