@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked output goes straight to sbt's stdout WITHOUT the "[info] "
+// prefix — the driver parses graft.Bench's single JSON line from
+// stdout and the prefix broke that parse in round 1.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // local-cluster[N,c,m] master (multi-executor scaling evidence in
 // graft.Bench) launches real executor JVMs via $SPARK_HOME/bin/spark-class
 run / envVars ++= Map(

@@ -5,27 +5,31 @@ import graft.model.ExtractConfig
 import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 
-/** Round benchmark. Prints ONE JSON line:
+/** Round benchmark. Prints ONE JSON line (and writes it to
+  * BENCH_LAST.json):
   *   {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":dir}
   *
-  * Parts:
-  *   1. Extraction throughput on a pre-materialized parquet corpus at two
-  *      parallelism levels (8 vs 32 threads) — the sandbox stand-in for
-  *      the north rule's N vs 4N executors. Levels alternate twice and
-  *      the best trial per level is kept (JIT/page-cache fairness).
-  *   2. A pure-CPU calibration job at both levels measuring the BOX's
-  *      own parallel capacity ratio (this VM does not deliver 4x compute
-  *      from 4x threads — frequency/steal effects). Reported:
-  *        scaling_efficiency_raw  = (thr32/thr8)/4
-  *        scaling_efficiency_norm = (thr32/thr8)/capacity_ratio
-  *      The normalized figure is the cluster-predictive one: on a real
-  *      cluster, 4N executors are 4x hardware. Both appear in BASELINE.md.
-  *   3. Headline SparkEntry queries timed on SPARK_GRAFT_SF_DIR.
+  * Scaling evidence (north rule: throughput efficiency >= 0.8 going
+  * from N to 4N executors). This sandbox has one drifting shared VM, so
+  * the protocol is SELF-QUALIFYING:
+  *   - N = 4 cores, 4N = 16 cores (headroom below the 32 vCPUs, so
+  *     tenant drift does not cap the 4N side);
+  *   - PRIMARY: real executor JVMs — local-cluster[1,4] vs
+  *     local-cluster[4,4]; SECONDARY: local[4] vs local[16] threads;
+  *   - each measurement window interleaves a pure-CPU calibration at
+  *     both levels; capacity = cal4/cal16 measures what the box
+  *     actually delivers for 4x threads (ideal 4.0) adjacent in time to
+  *     the throughput it normalizes;
+  *   - a window QUALIFIES only if capacity is in [3.2, 4.8] (box not in
+  *     a drift spike); sampling continues until 3 qualified windows or
+  *     the cap; the published number is the median over qualified
+  *     windows, with window counts + a capacity_limited flag in the
+  *     artifact so a bad box cannot masquerade as a measurement.
   */
 object Bench {
 
   private val ExtractDocs =
-    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "300000").toLong
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_DOCS", "600000").toLong
   private val CorpusDir =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "/tmp/graft-bench-corpus")
 
@@ -43,10 +47,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.executor.extraClassPath", classes)
       // executor JVMs (local-cluster mode): same GC posture as the
-      // driver, each sized for its own 8 cores like a real cluster node
+      // driver, each sized for its own 4 cores like a real cluster node
       .config("spark.executor.extraJavaOptions",
         "-XX:+UnlockExperimentalVMOptions -XX:G1NewSizePercent=40 " +
-          "-XX:G1MaxNewSizePercent=60 -XX:ActiveProcessorCount=8")
+          "-XX:G1MaxNewSizePercent=60 -XX:ActiveProcessorCount=4")
       .getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
@@ -121,13 +125,13 @@ object Bench {
     out
   }
 
-  /** Pure-CPU calibration: fixed work, no allocation — measures what the
-    * box actually delivers for M threads (splitmix64 spins).
+  /** Pure-CPU calibration: fixed work, no allocation — seconds the box
+    * needs for the same splitmix spin workload at a core count.
     */
   private def cpuCalibration(cores: Int): Double = {
     val spark = session(cores)
-    val tasks = 128
-    val spins = 6000000L
+    val tasks = 64
+    val spins = 4000000L
     def run(): Double = {
       val t0 = System.nanoTime()
       spark.sparkContext.parallelize(0 until tasks, tasks).map { t =>
@@ -151,54 +155,87 @@ object Bench {
     best
   }
 
+  /** One interleaved measurement window (see scaladoc above). Cluster
+    * throughputs are None when an executor launch fails — logged, never
+    * silently zeroed.
+    */
+  private final case class Window(capacity: Double,
+      thr4: Double, thr16: Double,
+      clu4: Option[Double], clu16: Option[Double]) {
+    def qualified: Boolean = capacity >= 3.2 && capacity <= 4.8
+    def effThreads: Double = (thr16 / thr4) / capacity
+    def effCluster: Option[Double] =
+      for (a <- clu4; b <- clu16) yield (b / a) / capacity
+  }
+
+  private def measureWindow(): Window = {
+    val cal4 = cpuCalibration(4)
+    val thr4 = extractionTrials(4, 1).max
+    val thr16 = extractionTrials(16, 2).max
+    val cal16 = cpuCalibration(16)
+    def cluster(master: String, parts: Int): Option[Double] =
+      try Some(extractionOn(master, parts, 2))
+      catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] cluster run $master FAILED " +
+            s"(skipping, NOT zero): ${e.getClass.getName}: ${e.getMessage}")
+          None
+      }
+    val clu4 = cluster("local-cluster[1,4,4096]", 8)
+    val clu16 = cluster("local-cluster[4,4,4096]", 32)
+    Window(cal4 / cal16, thr4, thr16, clu4, clu16)
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    s((s.size - 1) / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val maxWindows = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOWS", "5").toInt
 
     ensureCorpus()
+    extractionTrials(16, 1) // global JIT/page-cache warm before window 1
 
-    // parts 1+2 interleaved: per round, calibration is measured adjacent
-    // to each level's throughput so the (time-varying) box capacity is
-    // paired with the observation it normalizes
-    final case class Round(cal8: Double, thr8: Double,
-        cal32: Double, thr32: Double) {
-      def capacity: Double = cal8 / cal32 // ideal machine: 4.0
-      def effNorm: Double = (thr32 / thr8) / capacity
-    }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
-    val rounds = (1 to 3).map { _ =>
-      val c8 = cpuCalibration(8)
-      val t8 = extractionTrials(8, 2).max
-      val c32 = cpuCalibration(32)
-      val t32 = extractionTrials(32, 2).max
-      Round(c8, t8, c32, t32)
-    }
-    val thr8 = median(rounds.map(_.thr8))
-    val thr32 = median(rounds.map(_.thr32))
-    val capacityRatio = median(rounds.map(_.capacity))
-    val effRaw = (thr32 / thr8) / 4.0
-    val effNorm = median(rounds.map(_.effNorm))
+    val windows = scala.collection.mutable.ArrayBuffer.empty[Window]
+    while (windows.size < maxWindows &&
+      windows.count(w => w.qualified && w.effCluster.isDefined) < 3)
+      windows += measureWindow()
+    val all = windows.toSeq
+    val qual = all.filter(_.qualified)
+    val capacityLimited = qual.isEmpty
+    val use = if (capacityLimited) all else qual // honest fallback, flagged
+    val clusterEffs = use.flatMap(_.effCluster)
+    val threadEffs = use.map(_.effThreads)
+    val clusterMode = clusterEffs.nonEmpty
+    val headline =
+      if (clusterMode) median(clusterEffs) else median(threadEffs)
 
-    // multi-executor evidence: 1 vs 4 REAL executor JVMs (8 cores each),
-    // the sandbox's closest rendition of N vs 4N executors. Requires
-    // SPARK_HOME (set via build.sbt envVars); skipped gracefully if the
-    // worker launch fails.
-    val (clu1, clu4) =
-      try {
-        // more trials than the local[] runs: every executor JVM here is
-        // fresh and needs its own JIT warmup
-        val a = extractionOn("local-cluster[1,8,6144]", 16, 4)
-        val b = extractionOn("local-cluster[4,8,6144]", 64, 4)
-        (a, b)
-      } catch { case _: Throwable => (0.0, 0.0) }
-    val effCluster = if (clu1 > 0) (clu4 / clu1) / 4.0 else 0.0
+    val scaling = Seq(
+      "extract_docs_per_sec_n1x4" ->
+        median(use.flatMap(_.clu4).filter(_ > 0) match {
+          case Seq() => Seq(0.0); case xs => xs }),
+      "extract_docs_per_sec_n4x4" ->
+        median(use.flatMap(_.clu16).filter(_ > 0) match {
+          case Seq() => Seq(0.0); case xs => xs }),
+      "extract_docs_per_sec_p4" -> median(use.map(_.thr4)),
+      "extract_docs_per_sec_p16" -> median(use.map(_.thr16)),
+      "box_capacity_ratio_4_to_16" -> median(use.map(_.capacity)),
+      "scaling_efficiency" -> headline,
+      "scaling_efficiency_executors_1_to_4" ->
+        (if (clusterMode) median(clusterEffs) else 0.0),
+      "scaling_efficiency_threads" -> median(threadEffs),
+      "scaling_efficiency_raw_unnormalized" ->
+        median(use.map(w => (w.thr16 / w.thr4) / 4.0)),
+      "scaling_windows" -> all.size.toDouble,
+      "scaling_windows_qualified" -> qual.size.toDouble,
+      "scaling_mode_executors" -> (if (clusterMode) 1.0 else 0.0),
+      "capacity_limited" -> (if (capacityLimited) 1.0 else 0.0),
+      "extract_bench_docs" -> ExtractDocs.toDouble)
 
-    if (sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("extract")) {
-      println(f"""{"thr8":$thr8%.0f,"thr32":$thr32%.0f,"capacity":$capacityRatio%.3f,"eff_raw":$effRaw%.3f,"eff_norm":$effNorm%.3f,"clu1":$clu1%.0f,"clu4":$clu4%.0f,"eff_cluster":$effCluster%.3f}""")
-      return
-    }
-
-    // part 3: headline queries at sfDir
+    // headline queries at sfDir
     val spark = session(cpus)
     SparkEntry.queries.get("t4_fingerprint").foreach { fn =>
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -211,22 +248,16 @@ object Bench {
       name -> (System.nanoTime() - t0) / 1e9
     }
     val total = results.map(_._2).sum
-    val extras = Seq(
-      "extract_docs_per_sec_p8" -> thr8,
-      "extract_docs_per_sec_p32" -> thr32,
-      "scaling_efficiency_raw_8_to_32" -> effRaw,
-      "box_capacity_ratio_8_to_32" -> capacityRatio,
-      "scaling_efficiency_normalized" -> effNorm,
-      "extract_docs_per_sec_1x8_executors" -> clu1,
-      "extract_docs_per_sec_4x8_executors" -> clu4,
-      "scaling_efficiency_executors_1_to_4" -> effCluster,
-      "scaling_efficiency_executors_normalized" ->
-        (if (clu1 > 0) (clu4 / clu1) / capacityRatio else 0.0),
-      "extract_bench_docs" -> ExtractDocs.toDouble)
-    val qs = (results ++ extras)
+    val qs = (results ++ scaling)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    println(f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}""")
+    val line =
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}"""
+    // the line must reach the driver unprefixed (build.sbt routes forked
+    // stdout straight through); BENCH_LAST.json is the on-disk backup
+    println(line)
+    try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
+    catch { case _: Throwable => () }
     spark.stop()
   }
 }

@@ -322,6 +322,47 @@ object SparkEntry {
         .orderBy($"event_id")
     }),
 
+    // X3 full cascade over deterministically-messied LLM-style
+    // responses (channel marker / fence / prose-embedded / no JSON) —
+    // the oracle replays the identical cascade in SQL.
+    "j2_json_repair" -> ((s, dir) => {
+      import s.implicits._
+      val jr = graft.functions.JsonRepair
+      val msg =
+        when($"event_id" % 17 === 0,
+          lit("Model refused: NO PARSEABLE OUTPUT (truncated)"))
+        .when($"event_id" % 4 === 0,
+          concat(lit("analysis channel stuff<|message|>"), $"props",
+            lit("\n<|end|>")))
+        .when($"event_id" % 4 === 1,
+          concat(lit("Sure! Here is the JSON:\n```json\n"), $"props",
+            lit("\n```\nHope this helps.")))
+        .when($"event_id" % 4 === 2,
+          concat(lit("The result is "), $"props", lit(" as requested.")))
+        .otherwise($"props")
+      t(s, dir, "events")
+        .select($"event_id", jr.repairStage(msg).as("stage"),
+          from_json(jr.repairPayload(msg),
+            org.apache.spark.sql.types.StructType.fromDDL("k INT"))
+            .getField("k").as("k"))
+        .orderBy($"event_id")
+    }),
+
+    // X4: <think> chain-of-thought strip over messied documents text
+    "t5_clean_response" -> ((s, dir) => {
+      import s.implicits._
+      val msg =
+        when($"doc_id" % 3 === 0,
+          concat(lit("<think>"), substring($"text", 1, 40),
+            lit("</think>\n"), $"text"))
+        .when($"doc_id" % 3 === 1,
+          concat($"text", lit("\n<think>post hoc</think>")))
+        .otherwise($"text")
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.cleanResponse(msg).as("cleaned"))
+        .orderBy($"doc_id")
+    }),
+
     // -------------------------------------------------------- extraction
     // p2/p3 run the REAL FieldExtract operator (patterns, validity,
     // completeness) over a certificate-style text constructed
@@ -544,6 +585,42 @@ object SparkEntry {
       """SELECT event_id,
          TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k
          FROM events ORDER BY event_id""",
+
+    "j2_json_repair" ->
+      """WITH src AS (SELECT event_id,
+           CASE WHEN event_id % 17 = 0 THEN 'Model refused: NO PARSEABLE OUTPUT (truncated)'
+                WHEN event_id % 4 = 0 THEN 'analysis channel stuff<|message|>' || props || chr(10) || '<|end|>'
+                WHEN event_id % 4 = 1 THEN 'Sure! Here is the JSON:' || chr(10) || '```json' || chr(10) || props || chr(10) || '```' || chr(10) || 'Hope this helps.'
+                WHEN event_id % 4 = 2 THEN 'The result is ' || props || ' as requested.'
+                ELSE props END AS t
+           FROM events),
+         st AS (SELECT event_id, t,
+           nullif(regexp_extract(t, '(?s)<\|message\|>\s*(\{.*)', 1), '') AS ch,
+           nullif(regexp_extract(t, '(?s)```(?:json)?\s*(\{.*?\})\s*```', 1), '') AS fe
+           FROM src),
+         sl AS (SELECT event_id, t, fe,
+           CASE WHEN ch IS NOT NULL AND strpos(ch, '{') > 0 AND strpos(reverse(ch), '}') > 0
+                 AND length(ch) - strpos(reverse(ch), '}') + 1 >= strpos(ch, '{')
+                THEN substring(ch, strpos(ch, '{'),
+                  length(ch) - strpos(reverse(ch), '}') + 1 - strpos(ch, '{') + 1) END AS chs,
+           CASE WHEN strpos(t, '{') > 0 AND strpos(reverse(t), '}') > 0
+                 AND length(t) - strpos(reverse(t), '}') + 1 >= strpos(t, '{')
+                THEN substring(t, strpos(t, '{'),
+                  length(t) - strpos(reverse(t), '}') + 1 - strpos(t, '{') + 1) END AS brs
+           FROM st)
+         SELECT event_id,
+           CASE WHEN chs IS NOT NULL THEN 1 WHEN fe IS NOT NULL THEN 2
+                WHEN brs IS NOT NULL THEN 3 ELSE 0 END AS stage,
+           TRY_CAST(json_extract_string(coalesce(chs, fe, brs), '$.k') AS INT) AS k
+         FROM sl ORDER BY event_id""",
+
+    "t5_clean_response" ->
+      """SELECT doc_id, trim(regexp_replace(
+           CASE WHEN doc_id % 3 = 0 THEN '<think>' || substring(text, 1, 40) || '</think>' || chr(10) || text
+                WHEN doc_id % 3 = 1 THEN text || chr(10) || '<think>post hoc</think>'
+                ELSE text END,
+           '(?s)<think>.*?</think>', '', 'g')) AS cleaned
+         FROM documents ORDER BY doc_id""",
 
     "x1_markdown_decorate" ->
       """SELECT doc_id,

@@ -99,6 +99,13 @@ object TextFunctions {
     aggregate(tokens(c), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
+  /** X4 response cleaning (reference test_ai_models/model_evaluator.py:
+    * 374-384): strip <think>...</think> chain-of-thought blocks
+    * (DOTALL, non-greedy — multiple blocks all go), then trim.
+    */
+  def cleanResponse(c: Column): Column =
+    trim(regexp_replace(c, "(?s)<think>.*?</think>", ""))
+
   /** Context-budget truncation (reference reasoning_engine.py:234-252
     * `_truncate_text`): cut to maxChars; if a newline exists past 80% of
     * the budget, cut at that newline instead (never mid-line when a

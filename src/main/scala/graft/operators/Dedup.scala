@@ -34,8 +34,20 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= minJ.
+  /** Exact n-gram Jaccard pairs (id_a < id_b, jaccard >= minJ) via the
+    * AllPairs/PPJoin prefix filter (Bayardo et al., WWW 2007; Chaudhuri
+    * et al., ICDE 2006 — public algorithms):
+    *
+    *   1. global shingle document frequency (one map-side-combinable agg);
+    *   2. each doc's shingles are ordered by (df asc, shingle) and only
+    *      the first |d| - ceil(minJ*|d|) + 1 — the PREFIX — enter the
+    *      candidate join. THEOREM: J(A,B) >= minJ implies the prefixes
+    *      intersect, so recall is exact, while the high-df shingles that
+    *      make a naive shingle self-join quadratic (df^2 pairs per hub
+    *      shingle) sort to the ends of documents and stay OUT of the
+    *      join keys;
+    *   3. candidates (ids only) are verified against full shingle sets
+    *      with an exact kernel.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJ: Double = 0.5): DataFrame = {
@@ -50,24 +62,38 @@ object Dedup {
       .as[(String, Seq[String])]
       .mapPartitions(_.map { case (id, ts) => (id, shingleSet(ts, n).toSeq) })
       .toDF("doc_id", "sh")
-      .withColumn("doc_id", col("doc_id").cast(idType))
       .filter(size(col("sh")) > 0)
-    val sizes = sh.select(col("doc_id"), size(col("sh")).as("n_sh"))
-    val ex = sh.select(col("doc_id"), explode(col("sh")).as("g"))
-    val pairs = ex.as("a").join(ex.as("b"),
-        col("a.g") === col("b.g") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("common"))
-    pairs
-      .join(sizes.withColumnRenamed("doc_id", "id_a")
-        .withColumnRenamed("n_sh", "na"), "id_a")
-      .join(sizes.withColumnRenamed("doc_id", "id_b")
-        .withColumnRenamed("n_sh", "nb"), "id_b")
-      .withColumn("jaccard",
-        round(col("common").cast("double") /
-          (col("na") + col("nb") - col("common")), 4))
-      .filter(col("jaccard") >= minJ)
-      .select("id_a", "id_b", "jaccard")
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val prefix = ex.join(df, "g")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1)
+      .select(col("doc_id"), col("g"))
+    val cand = prefix.as("a").join(prefix.as("b"),
+        col("a.g") === col("b.g") &&
+          col("a.doc_id").cast(idType) < col("b.doc_id").cast(idType))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+    val setsA = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
+    val setsB = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
+    cand.join(setsA, "id_a").join(setsB, "id_b")
+      .select("id_a", "id_b", "sa", "sb") // using-joins reorder columns
+      .as[(String, String, Seq[String], Seq[String])]
+      .mapPartitions(_.flatMap { case (idA, idB, sa, sb) =>
+        val setB = sb.toSet
+        val common = sa.count(setB.contains)
+        // HALF_UP to match Spark round() / the DuckDB oracle exactly
+        val j = BigDecimal(common.toDouble /
+          (sa.length + sb.length - common))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if (j >= minJ) Iterator((idA, idB, j)) else Iterator.empty
+      })
+      .toDF("id_a", "id_b", "jaccard")
+      .withColumn("id_a", col("id_a").cast(idType))
+      .withColumn("id_b", col("id_b").cast(idType))
   }
 
   /** Word n-gram shingle set — plain Scala kernel (JIT-compiled; Spark's
