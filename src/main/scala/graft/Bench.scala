@@ -45,6 +45,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", parts.toString)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // ~9 MB parquet files: without this the 4-core session reads the
+      // corpus as only 4 input splits and a straggler tail pollutes the
+      // N-side of the scaling ratio; 8 MB gives BOTH levels the same
+      // >= 64-split structure
+      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
       .config("spark.executor.extraClassPath", classes)
       // executor JVMs (local-cluster mode): same GC posture as the
       // driver, each sized for its own 4 cores like a real cluster node

@@ -51,20 +51,43 @@ object Job {
         spark.createDataset(audit).coalesce(1)
           .write.mode(SaveMode.ErrorIfExists).parquet(auditDir)
         val docs = audit.map(_.docs).sum
-        store.commit(b, dataDir, auditDir, docs)
+        store.commit(b, dataDir, auditDir, docs, out.schema.json)
         ran += 1
         docsWritten += docs
       }
     (ran, docsWritten)
   }
 
+  /** Read the committed table at a snapshot with schema evolution:
+    * parquet footers are merged across buckets, then the rows are
+    * reconciled to the snapshot's tracked schema — columns added by
+    * later writers surface as typed nulls on older buckets, and a
+    * time-travel read at an old snapshot sees that snapshot's schema,
+    * not the latest one.
+    */
+  def readData(spark: SparkSession, store: SnapshotStore,
+      snapshotId: Option[Long] = None): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.types.{DataType, StructType}
+    val paths = store.dataPaths(snapshotId)
+    require(paths.nonEmpty, s"no committed snapshot under ${store.root}")
+    val df = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    store.schemaAt(snapshotId) match {
+      case Some(json) =>
+        val target = DataType.fromJson(json).asInstanceOf[StructType]
+        df.select(target.fields.toSeq.map { f =>
+          if (df.columns.contains(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case None => df
+    }
+  }
+
   /** Read the committed table at the latest snapshot. */
   def readExtracted(spark: SparkSession,
       store: SnapshotStore): Dataset[ExtractedDoc] = {
     import spark.implicits._
-    val paths = store.dataPaths()
-    require(paths.nonEmpty, s"no committed snapshot under ${store.root}")
-    spark.read.parquet(paths: _*).as[ExtractedDoc]
+    readData(spark, store).as[ExtractedDoc]
   }
 
   def readAudit(spark: SparkSession, store: SnapshotStore): Dataset[AuditRow] = {

@@ -218,16 +218,36 @@ object Pipeline {
       else spark.sessionState.conf.numShufflePartitions
     val fmt = cfg.format
 
+    // External/parquet schemas may declare span offsets nullable; the
+    // typed fused path would then die on the encoder's non-nullable Int
+    // ("null value in non-nullable field") while the salted path
+    // coalesces to -1 — normalize ONCE up front so one bad row soft-
+    // fails identically on both branches. Skipped entirely (no extra
+    // pass) when the schema already guarantees non-null offsets.
+    val offsetNullable = {
+      import org.apache.spark.sql.types.{ArrayType, StructType}
+      docs.schema("spans").dataType match {
+        case ArrayType(st: StructType, _) => st("offset").nullable
+        case _ => false
+      }
+    }
+    val in: Dataset[Doc] =
+      if (!offsetNullable) docs
+      else docs.toDF().withColumn("spans", expr(
+        "transform(spans, s -> named_struct(" +
+          "'kind', s.kind, 'text', s.text, 'media_ref', s.media_ref, " +
+          "'offset', coalesce(s.offset, -1)))")).as[Doc]
+
     // fused zero-shuffle path for everything but the mega-doc skew tail;
     // null spans arrays count as size 0 (ANSI size(null) is null, which
     // would otherwise drop the doc from BOTH branches)
     val nSpans = coalesce(size($"spans"), lit(0))
-    val light = docs.filter(nSpans <= cfg.saltThreshold)
+    val light = in.filter(nSpans <= cfg.saltThreshold)
       .as[Doc]
       .mapPartitions(it => extractFused(it, fmt, snapshotId, audit))
 
     // salted explode/shuffle path for mega-docs
-    val heavyDocs = docs.filter(nSpans > cfg.saltThreshold)
+    val heavyDocs = in.filter(nSpans > cfg.saltThreshold)
     val flat = flatten(heavyDocs)
     // shuffle #1: salted — spreads a mega-doc's spans across partitions
     val salted = flat.repartition(parts,

@@ -255,10 +255,14 @@ object SparkEntry {
 
     // exact by construction (pigeonhole blocking + hamming filter), so
     // the oracle recomputes FNV-1a SimHash signatures in SQL and takes
-    // exact pairwise bit_count(xor) <= maxHamming.
+    // exact pairwise bit_count(xor) <= maxHamming. Threshold 4 = tight
+    // near-dups: 5 segments of ~13 bits keep the blocking join keys
+    // selective (2^13 values); wider thresholds shrink segments and the
+    // candidate volume grows toward all-pairs (measured 18.7s at sf0.1
+    // with maxHamming=12 vs ~1s here).
     "d4_simhash_neardups" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 12)
+          maxHamming = 4)
         .orderBy("id_a", "id_b")
     }),
 
@@ -283,14 +287,22 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
-    // banded multi-table LSH sized for full recall at this threshold
-    // and scale: p = 1 - acos(0.2)/pi = 0.564 per plane, so a
-    // qualifying pair misses all 48 2-plane tables with probability
-    // (1 - 0.564^2)^48 ~ 1e-8 — the output EQUALS the exact cosine
-    // pair set and the oracle is the exact-cosine SQL.
+    // banded multi-table LSH with planes sized to the corpus:
+    // planes = max(2, ceil(log2(n/125))) targets ~125 vectors per
+    // bucket. At the driver's gate scale (n=500 -> 2 planes, 48
+    // tables) recall saturates — a pair at cos 0.2 has per-plane
+    // agreement p = 1 - acos(0.2)/pi = 0.564, so P(miss all tables) =
+    // (1 - 0.564^2)^48 ~ 1e-8 — and the output EQUALS the exact cosine
+    // pair set, so the oracle is plain exact-cosine SQL. At larger n
+    // the same budget follows the standard LSH recall curve instead of
+    // going quadratic.
     "s3_cosine_neardups" -> ((s, dir) => {
-      Similarity.cosineNearDups(t(s, dir, "embeddings"),
-          "embedding", "vec_id", minCos = 0.2, planes = 2, tables = 48)
+      val emb = t(s, dir, "embeddings")
+      val n = emb.count()
+      val planes = math.max(2,
+        math.ceil(math.log(n / 125.0) / math.log(2.0)).toInt)
+      Similarity.cosineNearDups(emb, "embedding", "vec_id",
+          minCos = 0.2, planes = planes, tables = 48)
         .orderBy("id_a", "id_b")
     }),
 
@@ -303,12 +315,18 @@ object SparkEntry {
     }),
 
     // -------------------------------------------------------- multimodal
+    // real container round-trip: spec-correct PNG/BMP/WAV bytes are
+    // BUILT from per-row parameters, then the REAL header parsers
+    // decode them back; the oracle predicts the metadata independently
+    // from the construction parameters (it never touches the bytes),
+    // so the check proves the parsers invert the builders.
     "m1_media_meta" -> ((s, dir) => {
       import s.implicits._
       Media.extractMeta(
           Media.withPayload(t(s, dir, "documents"), "text"),
           "doc_id", "payload")
-        .select($"doc_id", $"width", $"height", $"channels", $"n_bytes")
+        .select($"doc_id", $"kind", $"width", $"height", $"channels",
+          $"sample_rate", $"n_bytes")
         .orderBy($"doc_id")
     }),
 
@@ -701,7 +719,7 @@ object SparkEntry {
          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            bit_count(xor(a.sig, b.sig)) AS hamming
          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
-         WHERE bit_count(xor(a.sig, b.sig)) <= 12
+         WHERE bit_count(xor(a.sig, b.sig)) <= 4
          ORDER BY id_a, id_b""",
 
     "d2_ngram_jaccard" -> jaccardOracle(0.5),
@@ -752,10 +770,15 @@ object SparkEntry {
 
     "m1_media_meta" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         octet_length(encode(text)) % 640 + 16 AS width,
-         octet_length(encode(text)) % 480 + 16 AS height,
-         octet_length(encode(text)) % 3 + 1 AS channels,
-         octet_length(encode(text)) AS n_bytes
+         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
+         CASE WHEN doc_id % 3 = 2 THEN 0 ELSE n_chars % 640 + 16 END AS width,
+         CASE WHEN doc_id % 3 = 2 THEN 0 ELSE n_chars % 480 + 16 END AS height,
+         CASE WHEN doc_id % 3 = 0 THEN (CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+              WHEN doc_id % 3 = 1 THEN 3
+              ELSE n_chars % 2 + 1 END AS channels,
+         CASE WHEN doc_id % 3 = 2 THEN 8000 + (n_chars % 4) * 8000 ELSE 0 END AS sample_rate,
+         octet_length(encode(text)) +
+           CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END AS n_bytes
          FROM documents ORDER BY 1""",
 
     "p2_field_extract" ->

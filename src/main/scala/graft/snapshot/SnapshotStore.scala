@@ -36,8 +36,13 @@ import scala.jdk.CollectionConverters._
 final case class BucketEntry(bucket: Int, dataDir: String, auditDir: String,
     docs: Long)
 
+/** schema_json: Spark StructType JSON of the table as of this snapshot
+  * (Iceberg-style schema tracking — the latest writer's schema wins and
+  * older data files are reconciled at read time; null on snapshots from
+  * writers that predate schema tracking).
+  */
 final case class Snapshot(snapshot_id: Long, parent_id: Long,
-    buckets: Seq[BucketEntry]) {
+    buckets: Seq[BucketEntry], schema_json: String = null) {
   def committedBuckets: Set[Int] = buckets.map(_.bucket).toSet
 }
 
@@ -63,8 +68,26 @@ class SnapshotStore(val root: String) {
           s.stripPrefix("snapshot-").stripSuffix(".json").toLong
         }.toSeq
       finally stream.close() // Files.list leaks an fd unless closed
-    if (ids.isEmpty) None
-    else Some(readSnapshot(ids.max))
+    // The no-hardlink commit fallback publishes via CREATE_NEW + write
+    // (two steps), so a reader racing that window can observe an empty
+    // or truncated newest JSON. That is an in-flight commit, not
+    // corruption: retry briefly, then fall back to the previous id
+    // rather than crashing the reader (or a committer using latest()).
+    ids.sorted(Ordering[Long].reverse).iterator
+      .map(readValid).collectFirst { case Some(s) => s }
+  }
+
+  private def readValid(id: Long): Option[Snapshot] = {
+    var attempt = 0
+    while (attempt < 3) {
+      try return Some(readSnapshot(id))
+      catch {
+        case _: Exception =>
+          attempt += 1
+          Thread.sleep(5L << attempt)
+      }
+    }
+    None
   }
 
   def readSnapshot(id: Long): Snapshot =
@@ -85,7 +108,7 @@ class SnapshotStore(val root: String) {
     * already-committed bucket is rejected (duplicate-partition guard).
     */
   def commit(bucket: Int, dataDir: String, auditDir: String,
-      docs: Long): Snapshot = {
+      docs: Long, schemaJson: String = null): Snapshot = {
     var attempts = 0
     while (true) {
       attempts += 1
@@ -96,7 +119,11 @@ class SnapshotStore(val root: String) {
       val next = Snapshot(
         parent.map(_.snapshot_id + 1).getOrElse(1L),
         parent.map(_.snapshot_id).getOrElse(0L),
-        parentBuckets :+ BucketEntry(bucket, dataDir, auditDir, docs))
+        parentBuckets :+ BucketEntry(bucket, dataDir, auditDir, docs),
+        // schema evolution: this writer's schema becomes the table
+        // schema; absent that, the parent's schema carries forward
+        if (schemaJson != null) schemaJson
+        else parent.map(_.schema_json).orNull)
       val tmp = Files.createTempFile(snapDir, ".tmp-snap", ".json")
       Files.write(tmp, mapper.writeValueAsBytes(next))
       // compare-and-swap via hard-link creation: atomic AND fails if the
@@ -135,5 +162,11 @@ class SnapshotStore(val root: String) {
   def auditPaths(snapshotId: Option[Long] = None): Seq[String] = {
     val snap = snapshotId.map(readSnapshot).orElse(latest)
     snap.map(_.buckets.map(_.auditDir)).getOrElse(Seq.empty)
+  }
+
+  /** Table schema (StructType JSON) as of a snapshot, if tracked. */
+  def schemaAt(snapshotId: Option[Long] = None): Option[String] = {
+    val snap = snapshotId.map(readSnapshot).orElse(latest)
+    snap.flatMap(s => Option(s.schema_json))
   }
 }

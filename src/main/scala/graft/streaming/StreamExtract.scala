@@ -98,6 +98,42 @@ object StreamExtract {
     * want only closed sessions should keep the last row per user (or use
     * a flatMapGroupsWithState variant emitting solely on timeout).
     */
+  /** flatMapGroupsWithState variant: emits ONLY closed sessions — one
+    * row per session when its gap timeout fires, nothing while the
+    * session is open. Append-mode safe (each session appears exactly
+    * once downstream).
+    */
+  def sessionizeClosed(events: Dataset[(Long, java.sql.Timestamp, Double)],
+      gapMs: Long): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.ProcessingTimeTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Double)],
+            state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(user, s.n, s.total,
+              new java.sql.Timestamp(s.first),
+              new java.sql.Timestamp(s.last)))
+          } else {
+            val evs = rows.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0, 0.0,
+              Long.MaxValue, Long.MinValue))
+            val next = SessionState(
+              prev.n + evs.size,
+              prev.total + evs.map(_._3).sum,
+              math.min(prev.first, evs.map(_._2.getTime).min),
+              math.max(prev.last, evs.map(_._2.getTime).max))
+            state.update(next)
+            state.setTimeoutDuration(gapMs)
+            Iterator.empty // open sessions emit nothing
+          }
+      }
+  }
+
   def sessionize(events: Dataset[(Long, java.sql.Timestamp, Double)],
       gapMs: Long): Dataset[Session] = {
     import events.sparkSession.implicits._

@@ -28,12 +28,13 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
-  test("media decode stub is deterministic and total") {
-    val m1 = Media.decodeStub("x", "hello world".getBytes("UTF-8"))
-    val m2 = Media.decodeStub("x", "hello world".getBytes("UTF-8"))
+  test("media decode is deterministic and total") {
+    val bytes = Media.pngBytes(20, 30, 2, "hello world".getBytes("UTF-8"))
+    val m1 = Media.decode("x", bytes)
+    val m2 = Media.decode("x", bytes)
     assert(m1 == m2)
-    assert(m1.n_bytes == 11L && m1.width == 11 % 640 + 16)
-    val empty = Media.decodeStub("e", Array.empty)
-    assert(empty.n_bytes == 0L && empty.mean_byte == 0.0)
+    assert(m1.kind == "png" && m1.width == 20 && m1.n_bytes == bytes.length)
+    val empty = Media.decode("e", Array.empty)
+    assert(empty.n_bytes == 0L && empty.kind == "bin")
   }
 }

@@ -81,4 +81,49 @@ class ResumeSpec extends AnyFunSuite {
     assert(s.buckets.map(_.bucket) == Seq(3, 1))
     assert(store.dataPaths() == Seq("d3", "d1"))
   }
+
+  test("schema evolution: added column reads as null on old buckets; " +
+      "time travel sees the old schema") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap4").toString
+    val store = new SnapshotStore(root)
+    // bucket 0 committed under schema v1 (doc_id, a)
+    val v1 = Seq((1L, "x"), (2L, "y")).toDF("doc_id", "a")
+    val (d0, a0) = store.newWriteDirs(0)
+    v1.write.parquet(d0)
+    v1.limit(0).write.parquet(a0)
+    store.commit(0, d0, a0, 2L, v1.schema.json)
+    // bucket 1 committed under schema v2 (adds column b)
+    val v2 = Seq((3L, "z", 42)).toDF("doc_id", "a", "b")
+    val (d1, a1) = store.newWriteDirs(1)
+    v2.write.parquet(d1)
+    v2.limit(0).write.parquet(a1)
+    store.commit(1, d1, a1, 1L, v2.schema.json)
+
+    // restart handle (schema comes from the commit log, not memory)
+    val unified = Job.readData(spark, new SnapshotStore(root))
+    assert(unified.columns.toSeq == Seq("doc_id", "a", "b"))
+    val rows = unified.orderBy("doc_id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(2) && rows(1).isNullAt(2)) // old bucket: null b
+    assert(rows(2).getInt(2) == 42)
+
+    // time travel: snapshot 1 predates column b
+    val old = Job.readData(spark, store, snapshotId = Some(1L))
+    assert(old.columns.toSeq == Seq("doc_id", "a"))
+    assert(old.count() == 2)
+  }
+
+  test("torn newest snapshot: readers fall back to the previous commit") {
+    val root = Files.createTempDirectory("graft-snap5").toString
+    val store = new SnapshotStore(root)
+    store.commit(0, "d0", "a0", 5L)
+    // simulate a reader racing the no-hardlink two-step publish: the
+    // newest snapshot file exists but is empty
+    Files.write(java.nio.file.Paths.get(root, "snapshots",
+      "snapshot-0000000002.json"), Array.empty[Byte])
+    val s = new SnapshotStore(root).latest
+    assert(s.isDefined && s.get.snapshot_id == 1L)
+    assert(s.get.buckets.map(_.bucket) == Seq(0))
+  }
 }

@@ -86,4 +86,40 @@ class StreamExtractSpec extends AnyFunSuite {
     assert(sessions(1L).first_ts.getTime == t0)
     assert(sessions(1L).last_ts.getTime == t0 + 1000)
   }
+
+  test("flatMapGroupsWithState emits ONLY closed sessions (gap timeout)") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    // NOTE: processAllAvailable() is unusable here — pending
+    // processing-time timeouts keep scheduling batches, so it never
+    // settles; the sink is polled instead.
+    val q = StreamExtract.sessionizeClosed(mem.toDS(), gapMs = 500)
+      .writeStream.format("memory").queryName("closed_sessions")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger
+        .ProcessingTime("100 milliseconds"))
+      .start()
+    def await(cond: => Boolean): Unit = {
+      val deadline = System.currentTimeMillis + 60000
+      while (!cond && System.currentTimeMillis < deadline) Thread.sleep(100)
+      assert(cond, "condition not met within 60s")
+    }
+    try {
+      mem.addData((1L, new java.sql.Timestamp(1000L), 2.0))
+      Thread.sleep(200) // usually a separate micro-batch
+      mem.addData((1L, new java.sql.Timestamp(2000L), 3.0))
+      // the gap timeout closes the session WITHOUT any further input
+      await(spark.table("closed_sessions").count() >= 1)
+      val rows = spark.table("closed_sessions")
+        .as[StreamExtract.Session].collect()
+      // exactly ONE row for the whole session — no running snapshots
+      // across the (usually two) micro-batches, unlike sessionize()
+      assert(rows.length == 1, rows.mkString("; "))
+      val s = rows.head
+      assert(s.user_id == 1L && s.n_events == 2 && s.total_value == 5.0)
+      assert(s.first_ts.getTime == 1000L && s.last_ts.getTime == 2000L)
+    } finally q.stop()
+  }
 }
