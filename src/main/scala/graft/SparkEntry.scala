@@ -266,6 +266,15 @@ object SparkEntry {
         .orderBy("id_a", "id_b")
     }),
 
+    // dedup clustering: connected components over the exact near-dup
+    // pairs; cluster_id = min reachable doc id (the kept canonical).
+    // Oracle = recursive-CTE transitive closure over the same pairs.
+    "d5_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
+        "text", "doc_id", n = 3, minJ = 0.5)
+      Dedup.dupClusters(pairs).orderBy("doc_id")
+    }),
+
     // -------------------------------------------------------- similarity
     "s1_cosine_topk" -> ((s, dir) => {
       import s.implicits._
@@ -739,6 +748,33 @@ object SparkEntry {
            FROM scored)
          SELECT query_id, vec_id, score, rk FROM ranked WHERE rk <= 10
          ORDER BY query_id, rk""",
+
+    "d5_dup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cnt AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM cnt
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+         FROM reach GROUP BY a ORDER BY doc_id""",
 
     "s2_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -307,4 +307,45 @@ object Dedup {
   /** bit_count(a XOR b) as a Catalyst expression (no UDF). */
   private def udfFreeHamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** Near-duplicate CLUSTERS from a pair table (id_a, id_b): connected
+    * components by min-label propagation — every doc appearing in a
+    * pair gets cluster_id = the smallest doc id reachable through dup
+    * edges (the canonical representative a dedup pipeline keeps).
+    *
+    * Each round propagates labels across edges and keeps the min; the
+    * label sequence is monotone non-increasing and bounded, so it
+    * converges in O(component diameter) rounds — near-dup components
+    * are almost-cliques, so 2-3 rounds in practice. localCheckpoint
+    * truncates the iterative lineage (the standard Spark pattern for
+    * loops); at extreme component sizes switch to the large-star/
+    * small-star variant (Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC 2014 — public) which bounds per-round
+    * edge duplication.
+    */
+  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("v")).distinct()
+      .withColumn("label", col("v"))
+      .localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val next = edges.join(labels, edges("src") === labels("v"))
+        .select(col("dst").as("v"), col("label"))
+        .union(labels.select(col("v"), col("label")))
+        .groupBy("v").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
+    labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
+  }
 }

@@ -69,6 +69,15 @@ class DedupSpec extends AnyFunSuite {
     assert(Dedup.fnv1a64("foobar") == 0x85944171F73967E8L)
   }
 
+  test("dupClusters: transitive closure with min-id representative") {
+    import spark.implicits._
+    // chain 1-2-3 plus isolated pair 10-7 (order-insensitive)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 7L)).toDF("id_a", "id_b")
+    val got = Dedup.dupClusters(pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 10L -> 7L))
+  }
+
   test("simhash: identical texts at distance 0, near texts close") {
     val a = Dedup.simhash64("the quick brown fox".split(" "))
     val b = Dedup.simhash64("the quick brown fox".split(" "))
