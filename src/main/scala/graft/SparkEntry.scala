@@ -189,6 +189,23 @@ object SparkEntry {
         .orderBy($"o_orderkey")
     }),
 
+    // X6 prompt templating over document columns (reference
+    // reasoning_engine.py prompt assembly, re-expressed as a column
+    // function; placeholders fill from per-row values, null -> "")
+    "x4_prompt_template" -> ((s, dir) => {
+      import s.implicits._
+      val tpl = lit("Extract {fields} from document {doc_id} " +
+        "(lang={lang}, source={source}):\n---\n{excerpt}\n---")
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.template(tpl, Seq(
+          "fields" -> lit("fabricant, annee, nom_produit"),
+          "doc_id" -> $"doc_id",
+          "lang" -> $"lang",
+          "source" -> $"source",
+          "excerpt" -> substring($"text", 1, 80))).as("prompt"))
+        .orderBy($"doc_id")
+    }),
+
     // ------------------------------------------------------ text analysis
     "t1_token_stats" -> ((s, dir) => {
       import s.implicits._
@@ -652,6 +669,17 @@ object SparkEntry {
     "x1_markdown_decorate" ->
       """SELECT doc_id,
          CASE WHEN n_chars < 100 THEN '# ' || trim(text) ELSE trim(text) END AS decorated
+         FROM documents ORDER BY doc_id""",
+
+    "x4_prompt_template" ->
+      """SELECT doc_id,
+         replace(replace(replace(replace(replace(
+           'Extract {fields} from document {doc_id} (lang={lang}, source={source}):' || chr(10) || '---' || chr(10) || '{excerpt}' || chr(10) || '---',
+           '{fields}', 'fabricant, annee, nom_produit'),
+           '{doc_id}', coalesce(CAST(doc_id AS VARCHAR), '')),
+           '{lang}', coalesce(lang, '')),
+           '{source}', coalesce(source, '')),
+           '{excerpt}', coalesce(substring(text, 1, 80), '')) AS prompt
          FROM documents ORDER BY doc_id""",
 
     "x2_combine_by_lang" ->

@@ -99,6 +99,16 @@ object TextFunctions {
     aggregate(tokens(c), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
+  /** X6 prompt templating (reference core/models/reasoning_engine.py's
+    * f-string prompt assembly over a field list): fill {key}
+    * placeholders from columns; null values render as "". Pure nested
+    * replace() — codegen'd, and trivially mirrored in any SQL engine.
+    */
+  def template(tpl: Column, vars: Seq[(String, Column)]): Column =
+    vars.foldLeft(tpl) { case (acc, (k, v)) =>
+      replace(acc, lit("{" + k + "}"), coalesce(v.cast("string"), lit("")))
+    }
+
   /** X4 response cleaning (reference test_ai_models/model_evaluator.py:
     * 374-384): strip <think>...</think> chain-of-thought blocks
     * (DOTALL, non-greedy — multiple blocks all go), then trim.
