@@ -20,11 +20,16 @@ import org.apache.spark.sql.SparkSession
   *     both levels; capacity = cal4/cal16 measures what the box
   *     actually delivers for 4x threads (ideal 4.0) adjacent in time to
   *     the throughput it normalizes;
-  *   - a window QUALIFIES only if capacity is in [3.2, 4.8] (box not in
-  *     a drift spike); sampling continues until 3 qualified windows or
-  *     the cap; the published number is the median over qualified
-  *     windows, with window counts + a capacity_limited flag in the
-  *     artifact so a bad box cannot masquerade as a measurement.
+  *   - a window QUALIFIES only if (a) its two 4-thread calibrations
+  *     agree within 15% (no drift inside the window), (b) capacity is
+  *     plausible ([1.5, 4.6] — the LEVEL may honestly be low, the
+  *     normalization handles that; implausible readings are rejected),
+  *     and (c) its throughput sits within 20% of the run's best (the
+  *     workload itself as the contention probe); sampling continues
+  *     until 3 qualified windows or the cap; the published number is
+  *     the median over qualified windows, with window counts + a
+  *     capacity_limited flag so a bad box cannot masquerade as a
+  *     measurement.
   */
 object Bench {
 

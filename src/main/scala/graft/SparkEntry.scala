@@ -324,6 +324,9 @@ object SparkEntry {
     // going quadratic.
     "s3_cosine_neardups" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
+      // one column-less count job to size the blocking to the corpus —
+      // cheap relative to the operator; at production scale pass
+      // `planes` explicitly instead
       val n = emb.count()
       val planes = math.max(2,
         math.ceil(math.log(n / 125.0) / math.log(2.0)).toInt)
@@ -452,15 +455,18 @@ object SparkEntry {
     }))
 
   /** Certificate-style fixture text from documents columns (p2/p3):
-    * every numeric stays below 1900 so the `annee` year regex can only
-    * match the Issued line; moduli 11/7/5/3/13 drop individual fields
-    * so validity and completeness take all values.
+    * every numeric stays below 1900 — including the product id, which
+    * is doc_id mod 1000 so a corpus with >= 1900 docs cannot leak a
+    * year-shaped product id in front of the Issued line — so the
+    * `annee` year regex can only match the Issued line; moduli
+    * 11/7/5/3/13 drop individual fields so validity and completeness
+    * take all values.
     */
   private def certText(docId: Column, nChars: Column, lang: Column): Column =
     concat(
       lit("Product: "),
       when(docId % 11 === 0, lit("null"))
-        .otherwise(concat(lit("P-"), docId)),
+        .otherwise(concat(lit("P-"), docId % 1000)),
       when(docId % 7 === 0, lit("")).otherwise(
         concat(lit("\nTotal Lifecycle Carbon: "), nChars % 800, lit(".25"))),
       when(docId % 5 === 0, lit("")).otherwise(
@@ -473,7 +479,7 @@ object SparkEntry {
 
   /** The exact same construction in DuckDB SQL. */
   private val certSql =
-    """'Product: ' || CASE WHEN doc_id % 11 = 0 THEN 'null' ELSE 'P-' || doc_id END
+    """'Product: ' || CASE WHEN doc_id % 11 = 0 THEN 'null' ELSE 'P-' || (doc_id % 1000) END
      || CASE WHEN doc_id % 7 = 0 THEN '' ELSE chr(10) || 'Total Lifecycle Carbon: ' || (n_chars % 800) || '.25' END
      || CASE WHEN doc_id % 5 = 0 THEN '' ELSE chr(10) || 'Energy Consumption: ' || (n_chars % 500) || '.5' END
      || CASE WHEN doc_id % 3 = 0 THEN '' ELSE chr(10) || 'Weight: ' || (doc_id % 40 + 1) END

@@ -70,7 +70,12 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val prefix = ex.join(df, "g")
       .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= col("n_sh") - ceil(lit(minJ) * col("n_sh")) + 1)
+      // the 1e-9 guard keeps IEEE noise (0.07*100 = 7.000000000000001)
+      // from rounding the ceiling UP past the true integer product and
+      // shortening the prefix below what the recall theorem requires;
+      // under-rounding merely lengthens the prefix (still exact)
+      .filter(col("rn") <=
+        col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
       .select(col("doc_id"), col("g"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") &&
@@ -315,15 +320,17 @@ object Dedup {
     *
     * Each round propagates labels across edges and keeps the min; the
     * label sequence is monotone non-increasing and bounded, so it
-    * converges in O(component diameter) rounds — near-dup components
-    * are almost-cliques, so 2-3 rounds in practice. localCheckpoint
-    * truncates the iterative lineage (the standard Spark pattern for
-    * loops); at extreme component sizes switch to the large-star/
-    * small-star variant (Kiveris et al., "Connected Components in
-    * MapReduce and Beyond", SoCC 2014 — public) which bounds per-round
-    * edge duplication.
+    * converges in O(log diameter) rounds: each round propagates over
+    * edges AND pointer-jumps through the label table
+    * (label := label(label)), halving chain depth — so even a
+    * 10^6-long revision chain converges within the iteration bound.
+    * localCheckpoint truncates the iterative lineage (the standard
+    * Spark pattern for loops); at extreme edge counts switch to the
+    * large-star/small-star variant (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond", SoCC 2014 — public) which
+    * bounds per-round edge duplication.
     */
-  def dupClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+  def dupClusters(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
     val edges = pairs
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
@@ -335,10 +342,18 @@ object Dedup {
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
-      val next = edges.join(labels, edges("src") === labels("v"))
+      val prop = edges.join(labels, edges("src") === labels("v"))
         .select(col("dst").as("v"), col("label"))
         .union(labels.select(col("v"), col("label")))
         .groupBy("v").agg(min("label").as("label"))
+        .localCheckpoint(true) // also de-ambiguates the self-join below
+      // pointer jumping: follow one more hop through the label table so
+      // convergence is O(log diameter), not O(diameter)
+      val parent = prop.select(col("v").as("pv"), col("label").as("plabel"))
+      val next = prop.join(parent, col("label") === col("pv"), "left")
+        .select(col("v"),
+          least(col("label"), coalesce(col("plabel"), col("label")))
+            .as("label"))
         .localCheckpoint(true)
       changed = next.as("n").join(labels.as("o"), col("n.v") === col("o.v"))
         .filter(col("n.label") =!= col("o.label")).count()

@@ -141,14 +141,18 @@ object Media {
 
   // ------------------------------------------------------ Spark surface
 
-  /** Attach a binary payload column: REAL container bytes built from
-    * per-row parameters (kind rotates png/bmp/wav by doc_id; dims/rate
-    * derive from n_chars), with the utf-8 text as body — the stand-in
-    * for fetched media bytes keyed by media_ref.
+  /** Fixture payload builder: emits (doc_id, payload) where payload is
+    * REAL container bytes built from per-row parameters (kind rotates
+    * png/bmp/wav by doc_id; dims/rate derive from n_chars) with the
+    * utf-8 text as body — the stand-in for fetched media bytes keyed
+    * by media_ref. REQUIRES doc_id and n_chars columns (the documents
+    * table shape); other columns are intentionally dropped.
     */
   def withPayload(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    require(df.columns.contains("doc_id") && df.columns.contains("n_chars"),
+      "withPayload expects the documents table shape (doc_id, n_chars)")
     df.select(col("doc_id").cast("long"), col("n_chars").cast("int"),
         encode(col(textCol), "UTF-8"))
       .as[(Long, Int, Array[Byte])]

@@ -20,10 +20,10 @@ import org.apache.spark.sql.types._
   *   - LSH buckets corpus-side are computed in the same scan (one pass,
   *     ids + 1 long shuffled, never vectors); queries + their probe
   *     buckets are broadcast.
-  *   - Hyperplane components come from a 2-step LCG on (plane, dim)
-  *     index — integer-only, so an external SQL engine can replicate
-  *     buckets EXACTLY (the DuckDB oracles for s2/s3 do; that is the
-  *     point of not using scala MurmurHash here).
+  *   - Hyperplane components come from the SplitMix64 finalizer of the
+  *     packed (plane, dim) index — integer-only, so an external SQL
+  *     engine can replicate buckets EXACTLY (the DuckDB oracles for
+  *     s2/s3 do; that is the point of not using scala MurmurHash here).
   *   - Near-dup blocking is banded multi-table LSH (`tables` x `planes`
   *     sign bits): recall for pairs at cosine c is
   *     1 - (1 - p^planes)^tables with p = 1 - acos(c)/pi, so tables is
@@ -144,6 +144,35 @@ object Similarity {
   def l2Norm(a: Column): Column =
     sqrt(aggregate(a, lit(0.0), (s, x) => s + x.cast("double") * x.cast("double")))
 
+  /** Code-point order == UTF-8 binary order == Spark's UTF8String
+    * order. java.lang.String's natural UTF-16 order differs for
+    * supplementary characters (surrogates sort below U+E000..U+FFFF),
+    * which would let per-partition heap pruning evict a row the merge
+    * window's Spark ordering would keep.
+    */
+  val Utf8Ordering: Ordering[String] = (a: String, b: String) => {
+    var i = 0; var j = 0
+    var r = 0
+    while (r == 0 && i < a.length && j < b.length) {
+      val ca = a.codePointAt(i); val cb = b.codePointAt(j)
+      r = Integer.compare(ca, cb)
+      i += Character.charCount(ca); j += Character.charCount(cb)
+    }
+    if (r != 0) r else Integer.compare(a.length - i, b.length - j)
+  }
+
+  /** Per-partition plane-matrix cache keyed by vector dimension:
+    * ragged-dimension inputs get consistent matrices everywhere
+    * (planeComponent is a pure function of the indices), instead of
+    * whatever the partition's FIRST vector dictated.
+    */
+  private final class MatCache(planes: Int) {
+    private val m =
+      scala.collection.mutable.HashMap.empty[Int, Array[Array[Double]]]
+    def get(dim: Int): Array[Array[Double]] =
+      m.getOrElseUpdate(dim, planeMatrix(planes, dim))
+  }
+
   // ------------------------------------------------------------ operators
 
   private def sqlNameOf(idType: DataType): String = idType match {
@@ -199,9 +228,11 @@ object Similarity {
       .join(q, col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
     val partial = idType match {
-      case StringType => partialTopK[String](
-        pairs.as[(String, Array[Float], String, Array[Float])], k)
-        .toDF("query_id", "vec_id", "score")
+      case StringType =>
+        implicit val ord: Ordering[String] = Utf8Ordering
+        partialTopK[String](
+          pairs.as[(String, Array[Float], String, Array[Float])], k)
+          .toDF("query_id", "vec_id", "score")
       case _ => partialTopK[Long](
         pairs.as[(Long, Array[Float], Long, Array[Float])], k)
         .toDF("query_id", "vec_id", "score")
@@ -232,20 +263,18 @@ object Similarity {
         .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
         .as[(I, Array[Float])]
         .mapPartitions { it =>
-          var mat: Array[Array[Double]] = null
+          val mats = new MatCache(planes)
           it.map { case (id, v) =>
-            if (mat == null) mat = planeMatrix(planes, v.length)
-            (id, v, bucketOf(v, mat, 0, planes))
+            (id, v, bucketOf(v, mats.get(v.length), 0, planes))
           }
         }.toDF("vec_id", "v", "bucket")
       val qp = broadcast(queries
         .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
         .as[(I, Array[Float])]
         .mapPartitions { it =>
-          var mat: Array[Array[Double]] = null
+          val mats = new MatCache(planes)
           it.flatMap { case (id, v) =>
-            if (mat == null) mat = planeMatrix(planes, v.length)
-            val qb = bucketOf(v, mat, 0, planes)
+            val qb = bucketOf(v, mats.get(v.length), 0, planes)
             (qb +: Seq.tabulate(planes)(p => qb ^ (1L << p)))
               .iterator.map(b => (id, v, b))
           }
@@ -259,7 +288,9 @@ object Similarity {
     }
 
     idType match {
-      case StringType => run[String]
+      case StringType =>
+        implicit val ord: Ordering[String] = Utf8Ordering
+        run[String]
       case _ => run[Long]
     }
   }
@@ -295,10 +326,9 @@ object Similarity {
         .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
         .as[(I, Array[Float])]
         .mapPartitions { it =>
-          var mat: Array[Array[Double]] = null
+          val mats = new MatCache(tables * planes + ExtPlanes)
           it.flatMap { case (id, v) =>
-            if (mat == null)
-              mat = planeMatrix(tables * planes + ExtPlanes, v.length)
+            val mat = mats.get(v.length)
             val ext = bucketOf(v, mat, tables * planes, ExtPlanes)
             (0 until tables).iterator.map(t =>
               (id, t, bucketOf(v, mat, t * planes, planes), ext))
@@ -313,10 +343,18 @@ object Similarity {
             .select(col("tbl"), col("bucket"),
               least(ceil(log2(col("n").cast("double") / maxBucket)),
                 lit(ExtPlanes)).cast("int").as("depth")))
+        // the depth tag in the high byte keeps re-split shard ids
+        // disjoint from every untouched bucket's id in the same table
+        // (without it, shard (bucket<<d)|ext can collide with an intact
+        // bucket's id and silently merge the two candidate groups,
+        // recreating the pair blowup the cap exists to bound); requires
+        // planes + depth <= 56, which ExtPlanes=16 and sane plane
+        // counts satisfy
         banded.join(over, Seq("tbl", "bucket"), "left")
           .withColumn("bucket", when(col("depth").isNull, col("bucket"))
             .otherwise(expr(
-              "shiftleft(bucket, depth) | (ext & (shiftleft(1L, depth) - 1L))")))
+              "shiftleft(cast(depth AS bigint), 56) | " +
+                "shiftleft(bucket, depth) | (ext & (shiftleft(1L, depth) - 1L))")))
           .select("id", "tbl", "bucket")
       }
     }
@@ -363,7 +401,9 @@ object Similarity {
           col("id_b").cast(idType).as("id_b"), col("score"))
 
     idType match {
-      case StringType => verify[String]
+      case StringType =>
+        implicit val ord: Ordering[String] = Utf8Ordering
+        verify[String]
       case _ => verify[Long]
     }
   }

@@ -144,7 +144,22 @@ class SnapshotStore(val root: String) {
         return next
       } catch {
         case _: java.nio.file.FileAlreadyExistsException =>
-          Files.deleteIfExists(tmp) // lost the race — re-read and retry
+          // lost the race — OR a previous writer died mid-publish in
+          // the no-hardlink two-step window, leaving a permanently torn
+          // file at this id. A torn loser would brick every future
+          // commit (latest() skips it, so the id gets recomputed
+          // forever): if the occupant stays unreadable after retries,
+          // replace it — its writer is gone (a LIVE writer's torn
+          // window is the few ms readValid already waits out).
+          if (readValid(next.snapshot_id).isEmpty) {
+            try {
+              Files.move(tmp, snapPath(next.snapshot_id),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+              return next
+            } catch { case _: Exception => () } // fall through to retry
+          }
+          Files.deleteIfExists(tmp)
           if (attempts > 100) sys.error("snapshot commit livelock")
       }
     }

@@ -125,5 +125,11 @@ class ResumeSpec extends AnyFunSuite {
     val s = new SnapshotStore(root).latest
     assert(s.isDefined && s.get.snapshot_id == 1L)
     assert(s.get.buckets.map(_.bucket) == Seq(0))
+    // ...and a later COMMIT reclaims the dead writer's torn slot
+    // instead of livelocking on FileAlreadyExists forever
+    val s2 = new SnapshotStore(root)
+    val committed = s2.commit(1, "d1", "a1", 3L)
+    assert(committed.snapshot_id == 2L)
+    assert(s2.latest.get.buckets.map(_.bucket) == Seq(0, 1))
   }
 }
