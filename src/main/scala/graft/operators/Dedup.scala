@@ -46,8 +46,23 @@ object Dedup {
     *      make a naive shingle self-join quadratic (df^2 pairs per hub
     *      shingle) sort to the ends of documents and stay OUT of the
     *      join keys;
-    *   3. candidates (ids only) are verified against full shingle sets
-    *      with an exact kernel.
+    *   3. PPJoin positional filter at pair emission: a match at prefix
+    *      ranks (pa, pb) bounds the total overlap by
+    *      1 + min(|A|-pa, |B|-pb); pairs whose bound cannot reach the
+    *      required overlap ceil(t/(1+t)(|A|+|B|)) are dropped before
+    *      they ever carry payload (keeping a pair if ANY of its prefix
+    *      matches passes preserves exactness — the earliest common
+    *      token gives the loosest bound);
+    *   4. two-stage verification: candidates first intersect SORTED
+    *      64-BIT SHINGLE HASHES (8 bytes/shingle shipped instead of
+    *      whole trigram strings; two-pointer merge). Hashing is a
+    *      surjection, so the hash-level Jaccard only ever OVERSTATES
+    *      the true one (colliding shingles merge: intersections grow,
+    *      unions shrink) — filtering on it with a rounding margin can
+    *      admit false positives but never drop a true pair;
+    *   5. the (tiny) survivor set is re-verified against the full
+    *      string shingle sets with the exact kernel, so the output is
+    *      bit-exact regardless of hash collisions.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJ: Double = 0.5): DataFrame = {
@@ -60,8 +75,11 @@ object Dedup {
     val sh = docs.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
-      .mapPartitions(_.map { case (id, ts) => (id, shingleSet(ts, n).toSeq) })
-      .toDF("doc_id", "sh")
+      .mapPartitions(_.map { case (id, ts) =>
+        val ss = shingleSet(ts, n)
+        (id, ss.toSeq, ss.map(fnv1a64).sorted.toSeq)
+      })
+      .toDF("doc_id", "sh", "hs")
       .filter(size(col("sh")) > 0)
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("g"))
@@ -76,15 +94,35 @@ object Dedup {
       // under-rounding merely lengthens the prefix (still exact)
       .filter(col("rn") <=
         col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("g"))
+      .select(col("doc_id"), col("g"), col("rn"), col("n_sh"))
+    // required overlap for J >= t, with the same safe-direction epsilon
+    val alpha = ceil(lit(minJ / (1 + minJ)) *
+      (col("a.n_sh") + col("b.n_sh")) - lit(1e-9))
+    val ubound = lit(1) +
+      least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.g") === col("b.g") &&
           col("a.doc_id").cast(idType) < col("b.doc_id").cast(idType))
+      .filter(ubound >= alpha)
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    // stage 4: hash-level screen (j_hash >= j_true always; the 1e-3
+    // margin covers the 4-decimal rounding of the final comparison)
+    val hashA = sh.select(col("doc_id").as("id_a"), col("hs").as("ha"))
+    val hashB = sh.select(col("doc_id").as("id_b"), col("hs").as("hb"))
+    val screened = cand.join(hashA, "id_a").join(hashB, "id_b")
+      .select("id_a", "id_b", "ha", "hb")
+      .as[(String, String, Seq[Long], Seq[Long])]
+      .mapPartitions(_.flatMap { case (idA, idB, ha, hb) =>
+        val common = sortedIntersectCount(ha.toArray, hb.toArray)
+        val j = common.toDouble / (ha.length + hb.length - common)
+        if (j >= minJ - 1e-3) Iterator((idA, idB)) else Iterator.empty
+      })
+      .toDF("id_a", "id_b")
+    // stage 5: exact string verification of the survivors
     val setsA = sh.select(col("doc_id").as("id_a"), col("sh").as("sa"))
     val setsB = sh.select(col("doc_id").as("id_b"), col("sh").as("sb"))
-    cand.join(setsA, "id_a").join(setsB, "id_b")
+    screened.join(setsA, "id_a").join(setsB, "id_b")
       .select("id_a", "id_b", "sa", "sb") // using-joins reorder columns
       .as[(String, String, Seq[String], Seq[String])]
       .mapPartitions(_.flatMap { case (idA, idB, sa, sb) =>
@@ -99,6 +137,20 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .withColumn("id_a", col("id_a").cast(idType))
       .withColumn("id_b", col("id_b").cast(idType))
+  }
+
+  /** Two-pointer intersection size of two SORTED long arrays (multiset
+    * semantics on the rare collision-duplicated entries — still an
+    * upper bound on the string-set intersection).
+    */
+  def sortedIntersectCount(a: Array[Long], b: Array[Long]): Int = {
+    var i = 0; var j = 0; var c = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) < b(j)) i += 1
+      else if (a(i) > b(j)) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
   }
 
   /** Word n-gram shingle set — plain Scala kernel (JIT-compiled; Spark's
