@@ -86,6 +86,21 @@ object StreamExtract {
         round(sum(col("value").cast("decimal(20,6)")).cast("double"), 4)
           .as("sum_value"))
 
+  /** Streaming ingest dedup: exact-duplicate suppression on the text
+    * fingerprint within the watermark horizon — the streaming
+    * counterpart of Dedup.exactDupGroups (state is bounded by the
+    * watermark, so 10^12-doc streams do not accumulate unbounded
+    * fingerprint state).
+    */
+  def dedupStream(docs: DataFrame, tsCol: String, textCol: String,
+      watermark: String): DataFrame =
+    docs
+      .withColumn("fp", graft.functions.TextFunctions
+        .fingerprint(col(textCol)))
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("fp")
+
   final case class Session(user_id: Long, n_events: Long, total_value: Double,
       first_ts: java.sql.Timestamp, last_ts: java.sql.Timestamp)
   final case class SessionState(n: Long, total: Double,

@@ -87,6 +87,28 @@ class StreamExtractSpec extends AnyFunSuite {
     assert(sessions(1L).last_ts.getTime == t0 + 1000)
   }
 
+  test("streaming dedup suppresses duplicate fingerprints across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String)]
+    val q = StreamExtract.dedupStream(
+        mem.toDS().toDF("ts", "text"), "ts", "text", "10 minutes")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      val t = new java.sql.Timestamp(1000L)
+      mem.addData((t, "same doc"), (t, "Same   DOC"), (t, "other"))
+      q.processAllAvailable()
+      mem.addData((new java.sql.Timestamp(2000L), "same doc")) // later batch
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").collect().map(_.getAs[String]("text"))
+      // normalization folds case/whitespace: one survivor per fingerprint
+      assert(texts.length == 2, texts.mkString("|"))
+      assert(texts.count(_.toLowerCase.startsWith("same")) == 1)
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState emits ONLY closed sessions (gap timeout)") {
     import spark.implicits._
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
