@@ -60,6 +60,24 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("s2: probe table broadcasts; corpus-side exchanges stay bounded") {
+    val df = SparkEntry.queries("s2_ann_lsh")(spark, dir)
+    df.collect() // finalize adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // query probes join the bucketed corpus via broadcast — the corpus
+    // itself is never hash-exchanged for the candidate join; the only
+    // exchanges are the tiny two-phase top-k merge
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(countExchanges(p) <= 2, p)
+  }
+
+  test("d2: prefix-filtered join never degenerates to a cross product") {
+    val df = SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("salted path: exactly two exchanges (salt + reassembly)") {
     import spark.implicits._
     val docs = spark.range(0, 10).mapPartitions(_.map(i =>
