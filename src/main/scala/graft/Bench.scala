@@ -208,11 +208,11 @@ object Bench {
 
   private def measureWindow(): Window = {
     val cal4a = cpuCalibration(4)
-    val thr4 = extractionTrials(4, 2).max
+    val thr4 = extractionTrials(4, 1).max
     val thr16 = extractionTrials(16, 2).max
     val cal16a = cpuCalibration(16)
     def cluster(master: String, parts: Int): Option[Double] =
-      try Some(extractionOn(master, parts, 4))
+      try Some(extractionOn(master, parts, 3))
       catch {
         case e: Throwable =>
           System.err.println(s"[bench] cluster run $master FAILED " +
@@ -241,7 +241,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val maxWindows = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOWS", "6").toInt
+    val maxWindows = sys.env.getOrElse("SPARK_GRAFT_BENCH_WINDOWS", "3").toInt
 
     val scalingOnly =
       sys.env.get("SPARK_GRAFT_BENCH_MODE").contains("scaling")
