@@ -109,6 +109,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cap.nonEmpty)
   }
 
+  test("multi-table LSH recall tracks the independence theory curve") {
+    // Regression guard for hyperplane quality: correlated planes (the
+    // LCG-lattice bug) collapse recall far below the independent-plane
+    // formula E[recall] = mean over true pairs of 1-(1-p^planes)^tables
+    // with p = 1 - acos(cos)/pi. Parameters sit mid-curve on purpose —
+    // that is where correlation shows up hardest.
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val vecs = emb.select($"vec_id", $"embedding")
+      .as[(Long, Array[Float])].collect().sortBy(_._1)
+    val minCos = 0.3
+    val exact = (for {
+      i <- vecs.indices.iterator; j <- (i + 1) until vecs.length
+      c = Similarity.roundedCosine(vecs(i)._2, vecs(j)._2) if c >= minCos
+    } yield ((vecs(i)._1, vecs(j)._1), c)).toMap
+    assert(exact.size > 200, s"fixture too sparse: ${exact.size}")
+    for ((k, l) <- Seq((4, 4), (6, 8))) {
+      val got = Similarity.cosineNearDups(emb, "embedding", "vec_id",
+          minCos, planes = k, tables = l)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got.subsetOf(exact.keySet)) // precision exact by construction
+      val recall = got.size.toDouble / exact.size
+      val theory = exact.values.map { c =>
+        val p = 1.0 - math.acos(math.min(1.0, c)) / math.Pi
+        1.0 - math.pow(1.0 - math.pow(p, k), l)
+      }.sum / exact.size
+      assert(math.abs(recall - theory) <= 0.15,
+        f"planes=$k tables=$l recall=$recall%.3f theory=$theory%.3f")
+    }
+  }
+
   test("top-k is two-phase: kernel pruning before the merge window") {
     import spark.implicits._
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
