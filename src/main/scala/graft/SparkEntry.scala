@@ -324,14 +324,18 @@ object SparkEntry {
     // going quadratic.
     "s3_cosine_neardups" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
-      // one column-less count job to size the blocking to the corpus —
-      // cheap relative to the operator; at production scale pass
-      // `planes` explicitly instead
-      val n = emb.count()
-      val planes = math.max(2,
-        math.ceil(math.log(n / 125.0) / math.log(2.0)).toInt)
+      // production form: planes sized from TABLE STATS (a driver-side
+      // parquet-footer read — the Iceberg snapshot-summary analog), not
+      // a count() scan job; maxBucket = 4x the target occupancy turns
+      // ON the extension-plane re-split so one dense hub bucket cannot
+      // go quadratic (at the n=500 gate corpora no bucket can exceed
+      // 500, so the output — and the saturated-recall argument above —
+      // is unchanged)
+      val n = graft.sources.TableStats.parquetRowCount(s,
+        s"$dir/embeddings.parquet")
+      val planes = Similarity.sizePlanes(n, targetBucket = 125)
       Similarity.cosineNearDups(emb, "embedding", "vec_id",
-          minCos = 0.2, planes = planes, tables = 48)
+          minCos = 0.2, planes = planes, tables = 48, maxBucket = 500)
         .orderBy("id_a", "id_b")
     }),
 

@@ -308,6 +308,16 @@ object Similarity {
     */
   private val ExtPlanes = 16
 
+  /** Blocking planes sized so the EXPECTED bucket holds ~targetBucket
+    * vectors: 2^planes buckets per table over n rows. Callers read n
+    * from table stats (graft.sources.TableStats / Iceberg snapshot
+    * summary), never from a count() job. The floor of 2 keeps tiny
+    * corpora in the recall-saturated regime (see s3's derivation).
+    */
+  def sizePlanes(n: Long, targetBucket: Int): Int =
+    math.max(2,
+      math.ceil(math.log(n.toDouble / targetBucket) / math.log(2.0)).toInt)
+
   /** Banded bucket assignment (id, tbl, bucket) for multi-table LSH,
     * with optional skew defense: when maxBucket > 0, buckets larger
     * than maxBucket are re-split by ceil(log2(n/maxBucket)) extension
@@ -318,6 +328,14 @@ object Similarity {
       planes: Int, tables: Int, maxBucket: Int = 0): DataFrame = {
     val spark = corpus.sparkSession
     import spark.implicits._
+    // the re-split shard id packs (depth tag << 56) | (bucket << depth)
+    // | ext bits, so bucket + max depth must fit below the tag byte —
+    // fail loudly instead of silently colliding shard ids (which would
+    // merge candidate groups and recreate the blowup the cap bounds)
+    require(planes >= 1 && planes + ExtPlanes <= 56,
+      s"planes must be in [1, ${56 - ExtPlanes}] (got $planes): the " +
+        "re-split shard encoding needs planes + depth <= 56 bits")
+    require(tables >= 1, s"tables must be >= 1 (got $tables)")
     val idSql = sqlNameOf(corpus.schema(idCol).dataType)
 
     def run[I](implicit e1: Encoder[(I, Array[Float])],
@@ -365,6 +383,24 @@ object Similarity {
     }
   }
 
+  /** Distinct candidate id pairs (id_a < id_b) from the banded buckets —
+    * the pre-verification stage of cosineNearDups, exposed so tests and
+    * capacity planning can measure candidate volume under a maxBucket
+    * cap without running the verify kernel.
+    */
+  def candidatePairs(corpus: DataFrame, vecCol: String, idCol: String,
+      planes: Int, tables: Int, maxBucket: Int = 0): DataFrame = {
+    val keyed = bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket)
+    // candidate pairs carry IDS ONLY — vectors are joined back just for
+    // the surviving pair set
+    keyed.as("a").join(keyed.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
   def cosineNearDups(corpus: DataFrame, vecCol: String, idCol: String,
       minCos: Double, planes: Int = 8, tables: Int = 8,
       maxBucket: Int = 0): DataFrame = {
@@ -372,15 +408,7 @@ object Similarity {
     import spark.implicits._
     val idType = corpus.schema(idCol).dataType
     val idSql = sqlNameOf(idType)
-    val keyed = bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket)
-    // candidate pairs carry IDS ONLY — vectors are joined back just for
-    // the surviving pair set
-    val cand = keyed.as("a").join(keyed.as("b"),
-        col("a.tbl") === col("b.tbl") &&
-          col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+    val cand = candidatePairs(corpus, vecCol, idCol, planes, tables, maxBucket)
     val vecs = corpus.select(col(idCol).cast(idSql).as("id"),
       col(vecCol).as("v"))
 

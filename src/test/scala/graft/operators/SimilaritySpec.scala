@@ -109,6 +109,82 @@ class SimilaritySpec extends AnyFunSuite {
     assert(cap.nonEmpty)
   }
 
+  test("dense hub: maxBucket re-split cuts join volume, keeps true pairs") {
+    // A 1000-vector hub (shared direction + noise, pairwise cos ~0.6)
+    // crowds a handful of buckets per table — the skew shape that makes
+    // an uncapped per-bucket self-join quadratic. The re-split's real
+    // guarantee: the join VOLUME (sum of squared bucket sizes — exactly
+    // the rows the bucket self-join produces) drops, while planted true
+    // near-dups (cos ~1) survive, because near-identical vectors agree
+    // on the extension planes too and multi-table union covers the
+    // rest. A hub of mutual TRUE near-dups is irreducible — its output
+    // is itself quadratic — so the bound is on wasted candidates, not
+    // on genuine pairs.
+    import spark.implicits._
+    def u(s: Long): Float = {
+      val z = s * 0x9E3779B97F4A7C15L
+      ((z >>> 11).toDouble / 4503599627370496.0 - 1.0).toFloat
+    }
+    val dim = 16
+    val base = Array.tabulate(dim)(d => u(999L * dim + d))
+    val hub = (0 until 1000).map { i =>
+      (i.toLong,
+        Array.tabulate(dim)(d => base(d) + 0.8f * u((i + 3L) * dim + d)).toSeq)
+    }
+    // 5 planted near-dup pairs: ids 2000+2k ~ 2000+2k+1 at cos ~0.9999
+    val planted = (0 until 5).flatMap { k =>
+      val v = Array.tabulate(dim)(d => u((5000L + k) * dim + d))
+      Seq((2000L + 2 * k, v.toSeq),
+        (2001L + 2 * k, v.map(x => x + 0.005f * u(k * dim + x.hashCode)).toSeq))
+    }
+    val docs = (hub ++ planted).toDF("vec_id", "embedding")
+    val (planes, tables, cap) = (4, 8, 50)
+
+    def joinVolume(maxBucket: Int): Long =
+      Similarity.bandedBuckets(docs, "embedding", "vec_id",
+          planes, tables, maxBucket)
+        .groupBy("tbl", "bucket").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+    val volFree = joinVolume(0)
+    val volCap = joinVolume(cap)
+    assert(volFree >= 500000L, s"fixture hub not dense enough: $volFree")
+    assert(volCap <= (volFree * 7) / 10,
+      s"re-split did not cut join volume: $volCap vs $volFree")
+
+    // recall through the cap: every planted pair is still found
+    val out = Similarity.cosineNearDups(docs, "embedding", "vec_id",
+        minCos = 0.99, planes = planes, tables = tables, maxBucket = cap)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    (0 until 5).foreach { k =>
+      assert(out.contains((2000L + 2 * k, 2001L + 2 * k)),
+        s"planted pair $k lost under maxBucket=$cap")
+    }
+    // and capped candidates stay a subset of uncapped candidates
+    val candCap = Similarity.candidatePairs(docs, "embedding", "vec_id",
+      planes, tables, cap).count()
+    val candFree = Similarity.candidatePairs(docs, "embedding", "vec_id",
+      planes, tables, 0).count()
+    assert(candCap <= candFree)
+  }
+
+  test("bandedBuckets rejects plane counts the shard encoding cannot hold") {
+    intercept[IllegalArgumentException] {
+      Similarity.bandedBuckets(spread(4), "embedding", "vec_id",
+        planes = 41, tables = 1)
+    }
+    intercept[IllegalArgumentException] {
+      Similarity.bandedBuckets(spread(4), "embedding", "vec_id",
+        planes = 0, tables = 1)
+    }
+  }
+
+  test("sizePlanes: stats-driven blocking size") {
+    assert(Similarity.sizePlanes(500, 125) == 2)
+    assert(Similarity.sizePlanes(5000, 125) == 6)
+    assert(Similarity.sizePlanes(10, 125) == 2) // floor
+    assert(Similarity.sizePlanes(1000000000L, 125) == 23)
+  }
+
   test("multi-table LSH recall tracks the independence theory curve") {
     // Regression guard for hyperplane quality: correlated planes (the
     // LCG-lattice bug) collapse recall far below the independent-plane
