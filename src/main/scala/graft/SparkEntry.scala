@@ -414,6 +414,52 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // X7 complete: the reference's calculate_field_score dict / list /
+    // scalar branches (model_evaluator.py:315-336) over map/array/string
+    // columns constructed deterministically from documents rows; the
+    // oracle predicts every score analytically from the same parameters
+    // (it never runs a comparator), so a drift in any branch —
+    // per-key map ratio, list set equality, numeric/string tolerance,
+    // null precedence — breaks the hash.
+    "x5_tolerant_score" -> ((s, dir) => {
+      import s.implicits._
+      val fe = graft.functions.FieldExtract
+      val d = $"doc_id"
+      val expFab = concat(upper($"lang"), lit(" Labs"))
+      val expAnnee = (d % 30 + 1990).cast("string")
+      val expPoids = (d % 40 + 1).cast("string")
+      val expMap = map(lit("fabricant"), expFab, lit("annee"), expAnnee,
+        lit("poids"), expPoids)
+      val extFab = // %3==0 → case/space noise (string branch match),
+        when(d % 3 === 0, concat(lit(" "), lower($"lang"), lit(" labs ")))
+          .when(d % 3 === 1, concat(upper($"lang"), lit(" Labz"))) // miss
+          .otherwise(expFab)
+      val extAnnee = // %5==0 → ".000" suffix (numeric branch match)
+        when(d % 5 === 0, concat(expAnnee, lit(".000")))
+          .when(d % 5 === 1, (d % 30 + 1991).cast("string")) // off by one
+          .otherwise(expAnnee)
+      val extMap = when(d % 7 === 0, // poids key missing → that key 0
+          map(lit("fabricant"), extFab, lit("annee"), extAnnee))
+        .otherwise(map(lit("fabricant"), extFab, lit("annee"), extAnnee,
+          lit("poids"), expPoids))
+      val expList = array(lit("alpha"), lit("beta"), $"lang")
+      val extList = when(d % 2 === 0, // permutation → set-equal → 1
+          array($"lang", lit("alpha"), lit("beta")))
+        .otherwise(array(lit("alpha"), lit("beta"))) // missing elem → 0
+      val nch = $"n_chars".cast("string")
+      val extScalar = when(d % 11 === 0, lit(null).cast("string"))
+        .when(d % 11 === 1, concat(nch, lit(".005"))) // |Δ|<0.01 → match
+        .when(d % 11 === 2, ($"n_chars" + 5).cast("string")) // miss
+        .otherwise(nch)
+      val expScalar = when(d % 13 === 0, lit(null).cast("string"))
+        .otherwise(nch)
+      t(s, dir, "documents").select(d.as("doc_id"),
+          round(fe.tolerantScoreMap(extMap, expMap), 4).as("s_map"),
+          fe.tolerantScoreList(extList, expList).as("s_list"),
+          fe.tolerantScore(extScalar, expScalar).as("s_scalar"))
+        .orderBy($"doc_id")
+    }),
+
     // -------------------------------------------------------- extraction
     // p2/p3 run the REAL FieldExtract operator (patterns, validity,
     // completeness) over a certificate-style text constructed
@@ -704,6 +750,21 @@ object SparkEntry {
            (SELECT l_orderkey, sum($discRev) AS rev
             FROM lineitem GROUP BY l_orderkey) ON o_orderkey = l_orderkey
          ORDER BY o_orderkey""",
+
+    // x5's oracle predicts each branch score from the construction
+    // moduli — independent of any comparator implementation
+    "x5_tolerant_score" ->
+      """SELECT doc_id,
+         round(((CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 1 END)
+              + (CASE WHEN doc_id % 5 = 1 THEN 0 ELSE 1 END)
+              + (CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END)) / 3.0, 4) AS s_map,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN 1.0 ELSE 0.0 END AS DOUBLE) AS s_list,
+         CAST(CASE WHEN doc_id % 11 = 0 THEN 0.0
+              WHEN doc_id % 13 = 0 THEN 1.0
+              WHEN doc_id % 11 = 1 THEN 1.0
+              WHEN doc_id % 11 = 2 THEN 0.0
+              ELSE 1.0 END AS DOUBLE) AS s_scalar
+         FROM documents ORDER BY doc_id""",
 
     "t1_token_stats" ->
       """SELECT doc_id, length(text) AS n_chars,

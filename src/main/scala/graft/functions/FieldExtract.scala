@@ -62,4 +62,54 @@ object FieldExtract {
     when(na.isNotNull && nb.isNotNull, abs(na - nb) < 0.01)
       .otherwise(lower(trim(a.cast("string"))) === lower(trim(b.cast("string"))))
   }
+
+  /** `_values_match` (model_evaluator.py:338-366) as a never-null
+    * boolean Column: exact (null-safe) equality, else numeric parse of
+    * both sides within |Δ| < 0.01 (try_cast re-expresses Python's
+    * float/int parse; unparseable → null → branch false), else
+    * case-insensitive trimmed string equality.
+    */
+  def valuesMatch(a: Column, b: Column): Column = {
+    val na = trim(a).try_cast("double")
+    val nb = trim(b).try_cast("double")
+    (a <=> b) ||
+      (na.isNotNull && nb.isNotNull && abs(na - nb) < 0.01) ||
+      coalesce(lower(trim(a)) === lower(trim(b)), lit(false))
+  }
+
+  /** Scalar branch of `calculate_field_score`
+    * (model_evaluator.py:315-336): extracted null → 0; expected null
+    * (with extracted present) → 1; else valuesMatch as 1.0/0.0.
+    */
+  def tolerantScore(ext: Column, exp: Column): Column =
+    when(ext.isNull, lit(0.0))
+      .when(exp.isNull, lit(1.0))
+      .otherwise(when(valuesMatch(ext, exp), lit(1.0)).otherwise(lit(0.0)))
+
+  /** Dict branch (model_evaluator.py:315-328) over MapType(string,
+    * string): the score is the fraction of EXPECTED keys whose value
+    * tolerantly matches the extracted map's value at that key (missing
+    * key ≡ null value, exactly like dict.get); extra extracted keys are
+    * ignored; an empty expected map scores 0, like the reference's
+    * `total_keys > 0` guard.
+    */
+  def tolerantScoreMap(ext: Column, exp: Column): Column =
+    when(ext.isNull, lit(0.0))
+      .when(exp.isNull, lit(1.0))
+      .when(size(map_keys(exp)) === 0, lit(0.0))
+      .otherwise(
+        size(filter(map_keys(exp), k =>
+          valuesMatch(try_element_at(ext, k), try_element_at(exp, k))))
+          .cast("double") / size(map_keys(exp)))
+
+  /** List branch (model_evaluator.py:330-333) over ArrayType(string):
+    * Python set equality — order- and multiplicity-insensitive exact
+    * element equality — as a symmetric array_except emptiness check.
+    */
+  def tolerantScoreList(ext: Column, exp: Column): Column =
+    when(ext.isNull, lit(0.0))
+      .when(exp.isNull, lit(1.0))
+      .otherwise(when(
+        size(array_except(ext, exp)) === 0 &&
+          size(array_except(exp, ext)) === 0, lit(1.0)).otherwise(lit(0.0)))
 }
