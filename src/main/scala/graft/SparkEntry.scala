@@ -391,9 +391,21 @@ object SparkEntry {
         .when($"event_id" % 4 === 2,
           concat(lit("The result is "), $"props", lit(" as requested.")))
         .otherwise($"props")
+      // the three cascade payloads are materialized ONCE in their own
+      // projection; stage and payload then derive from the aliased
+      // columns, so each regex runs once per row instead of once per
+      // consumer (multi-use non-cheap aliases are not inlined by
+      // CollapseProject)
       t(s, dir, "events")
-        .select($"event_id", jr.repairStage(msg).as("stage"),
-          from_json(jr.repairPayload(msg),
+        .select($"event_id", msg.as("m"))
+        .select($"event_id", jr.channelRaw($"m").as("chraw"),
+          jr.fencePayload($"m").as("fe"), $"m")
+        .select($"event_id", jr.braceSlice($"chraw").as("ch"), $"fe",
+          jr.braceSlice($"m").as("br"))
+        .select($"event_id",
+          when($"ch".isNotNull, 1).when($"fe".isNotNull, 2)
+            .when($"br".isNotNull, 3).otherwise(0).as("stage"),
+          from_json(coalesce($"ch", $"fe", $"br"),
             org.apache.spark.sql.types.StructType.fromDDL("k INT"))
             .getField("k").as("k"))
         .orderBy($"event_id")

@@ -32,10 +32,16 @@ object JsonRepair {
 
   private def nonEmpty(c: Column): Column = when(length(c) > 0, c)
 
+  /** Raw capture after the channel marker (null when absent) — exposed
+    * so multi-stage pipelines can materialize the regex once and brace-
+    * slice the aliased column (braceSlice references its input several
+    * times; an attribute reference is free, a regex is not).
+    */
+  def channelRaw(c: Column): Column =
+    nonEmpty(regexp_extract(c, "(?s)<\\|message\\|>\\s*(\\{.*)", 1))
+
   /** Stage 1: brace slice of whatever follows the channel marker. */
-  def channelPayload(c: Column): Column =
-    braceSlice(nonEmpty(
-      regexp_extract(c, "(?s)<\\|message\\|>\\s*(\\{.*)", 1)))
+  def channelPayload(c: Column): Column = braceSlice(channelRaw(c))
 
   /** Stage 2: fenced ```json block (non-greedy, like the reference). */
   def fencePayload(c: Column): Column =
