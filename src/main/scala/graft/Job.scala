@@ -75,8 +75,15 @@ object Job {
     store.schemaAt(snapshotId) match {
       case Some(json) =>
         val target = DataType.fromJson(json).asInstanceOf[StructType]
+        // existing columns are cast to the TRACKED type, not left at the
+        // parquet-merged one, so reads always conform to the snapshot's
+        // schema even when a later writer widened a type (note parquet
+        // mergeSchema itself rejects conflicting physical types across
+        // buckets — cross-bucket type evolution requires rewriting old
+        // buckets, as in real Iceberg; the cast covers same-bucket and
+        // time-travel reads)
         df.select(target.fields.toSeq.map { f =>
-          if (df.columns.contains(f.name)) col(f.name)
+          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
           else lit(null).cast(f.dataType).as(f.name)
         }: _*)
       case None => df

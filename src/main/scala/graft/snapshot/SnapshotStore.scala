@@ -124,8 +124,9 @@ class SnapshotStore(val root: String) {
         // schema; absent that, the parent's schema carries forward
         if (schemaJson != null) schemaJson
         else parent.map(_.schema_json).orNull)
+      val bytes = mapper.writeValueAsBytes(next)
       val tmp = Files.createTempFile(snapDir, ".tmp-snap", ".json")
-      Files.write(tmp, mapper.writeValueAsBytes(next))
+      Files.write(tmp, bytes)
       // compare-and-swap via hard-link creation: atomic AND fails if the
       // target exists (ATOMIC_MOVE silently REPLACES an existing file on
       // Linux, which would lose a concurrent commit)
@@ -137,8 +138,19 @@ class SnapshotStore(val root: String) {
             // filesystems without hard links (FAT, some NFS/fuse):
             // CREATE_NEW is still create-exclusive, only the publish is
             // not single-syscall-atomic
-            Files.write(snapPath(next.snapshot_id), Files.readAllBytes(tmp),
+            Files.write(snapPath(next.snapshot_id), bytes,
               java.nio.file.StandardOpenOption.CREATE_NEW)
+            // a concurrent committer may have judged the half-written
+            // file torn and quarantined it mid-write; success is only
+            // real if the occupant is OURS (a displaced writer keeps an
+            // fd into the quarantined inode and would otherwise return
+            // success for a snapshot someone else owns)
+            val occupant =
+              try Files.readAllBytes(snapPath(next.snapshot_id))
+              catch { case _: Exception => Array.empty[Byte] }
+            if (!java.util.Arrays.equals(occupant, bytes))
+              throw new java.nio.file.FileAlreadyExistsException(
+                snapPath(next.snapshot_id).toString)
         }
         Files.deleteIfExists(tmp)
         return next
@@ -149,15 +161,19 @@ class SnapshotStore(val root: String) {
           // file at this id. A torn loser would brick every future
           // commit (latest() skips it, so the id gets recomputed
           // forever): if the occupant stays unreadable after retries,
-          // replace it — its writer is gone (a LIVE writer's torn
-          // window is the few ms readValid already waits out).
+          // move it aside to a unique quarantine name with a
+          // NON-replacing atomic rename and retry the create-exclusive
+          // publish — the CAS still picks exactly one winner (never
+          // REPLACE the snapshot path: two committers that both judged
+          // the occupant torn would otherwise both return success while
+          // one bucket entry silently vanished).
           if (readValid(next.snapshot_id).isEmpty) {
-            try {
-              Files.move(tmp, snapPath(next.snapshot_id),
-                java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-              return next
-            } catch { case _: Exception => () } // fall through to retry
+            val quarantine = snapDir.resolve(
+              f".torn-${next.snapshot_id}%010d-" +
+                java.util.UUID.randomUUID().toString.take(8) + ".json")
+            try Files.move(snapPath(next.snapshot_id), quarantine,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            catch { case _: Exception => () } // someone else moved it
           }
           Files.deleteIfExists(tmp)
           if (attempts > 100) sys.error("snapshot commit livelock")

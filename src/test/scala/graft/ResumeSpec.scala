@@ -131,5 +131,16 @@ class ResumeSpec extends AnyFunSuite {
     val committed = s2.commit(1, "d1", "a1", 3L)
     assert(committed.snapshot_id == 2L)
     assert(s2.latest.get.buckets.map(_.bucket) == Seq(0, 1))
+    // the torn occupant was QUARANTINED (moved aside), never replaced:
+    // a stalled original writer holding an fd into that inode finishes
+    // writing into the quarantine file, not into the committed slot
+    val snapFiles = Files.list(java.nio.file.Paths.get(root, "snapshots"))
+    val names = try {
+      import scala.jdk.CollectionConverters._
+      snapFiles.iterator().asScala.map(_.getFileName.toString).toSeq
+    } finally snapFiles.close()
+    assert(names.exists(_.startsWith(".torn-0000000002-")), names)
+    // and the committed slot holds the RECLAIMER's snapshot
+    assert(s2.readSnapshot(2L).buckets.map(_.bucket) == Seq(0, 1))
   }
 }

@@ -127,4 +127,71 @@ class DedupSpec extends AnyFunSuite {
     } yield (ia, ib, h)).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
+
+  test("d3 oracle precondition: gate corpora have no mid-similarity pairs") {
+    // d3's driver gate hash-compares LSH output to the EXACT jaccard
+    // oracle at minJ=0.2, which is sound only while every true pair in
+    // the gate corpora sits in the saturated-recall regime: with
+    // (b=16, r=4), per-pair miss probability is (1-j^4)^16 — ~4e-8 at
+    // j=0.9 but ~37% at j=0.5. This test asserts the PRECONDITION on
+    // the actual driver testdata via the gate's total expected misses,
+    // so new testdata with a mid-similarity pair fails HERE with a
+    // clear message instead of flaking the gate.
+    for (sf <- Seq("sf0.001", "sf0.01")) {
+      val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
+      val js = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, minJ = 0.2)
+        .select("jaccard").collect().map(_.getDouble(0))
+      assert(js.nonEmpty, s"$sf: gate fixture has no pairs at all")
+      val expectedMisses =
+        js.map(j => math.pow(1.0 - math.pow(j, 4), 16)).sum
+      info(f"$sf%s: ${js.length}%d pairs, minJ=${js.min}%.4f, " +
+        f"E[missed]=$expectedMisses%.2e")
+      assert(expectedMisses < 1e-3,
+        f"$sf%s: E[missed pairs]=$expectedMisses%.2e (minJ=${js.min}%.4f) — " +
+          "a pair sits in the LSH recall gap; d3's hash-equality oracle " +
+          "no longer holds for this testdata, switch the gate to a " +
+          "recall-tolerance compare")
+    }
+  }
+
+  test("minhash banding recall tracks 1-(1-j^r)^b at 50k docs") {
+    // Scale evidence for the saturation argument behind d3's oracle:
+    // 25k doc pairs planted at nine CONSTRUCTED jaccard levels (token
+    // namespacing makes cross-pair jaccard 0 and per-pair jaccard
+    // exactly s/(80-s) for s shared shingles), run through the real
+    // minhash banding path, measured recall per level vs the standard
+    // curve. Murmur family quality, band hashing, and the candidate
+    // join are all under test — a correlated hash family would bend
+    // the curve exactly like the LCG-lattice hyperplane bug did.
+    import spark.implicits._
+    val (perms, bands) = (64, 16)
+    val r = perms / bands
+    val mTokens = 42 // 40 trigram shingles per doc
+    val levels = Seq(7, 13, 18, 23, 27, 30, 33, 36, 38) // shared shingles
+    val pairsPerLevel = 2778 // ~50k docs total
+    val docs = spark.range(0, levels.size.toLong * pairsPerLevel, 1, 32)
+      .mapPartitions(_.flatMap { p =>
+        val lvl = (p % levels.size).toInt
+        val s = levels(lvl)
+        val a = Array.tabulate(mTokens)(t => s"p${p}a$t")
+        val b = Array.tabulate(mTokens)(t =>
+          if (t < s + 2) a(t) else s"p${p}b$t")
+        Iterator((2 * p, a.mkString(" ")), (2 * p + 1, b.mkString(" ")))
+      }).toDF("doc_id", "text")
+    val found = Dedup.minhashNearDups(docs, "text", "doc_id",
+        n = 3, perms = perms, bands = bands, minJ = 0.05)
+      .select("id_a", "id_b").as[(Long, Long)].collect()
+      .filter { case (a, b) => b == a + 1 && a % 2 == 0 }
+      .map(_._1 / 2).groupBy(p => (p % levels.size).toInt)
+      .map { case (lvl, ps) => lvl -> ps.length }
+    levels.zipWithIndex.foreach { case (s, lvl) =>
+      val j = s.toDouble / (2 * (mTokens - 2) - s)
+      val theory = 1.0 - math.pow(1.0 - math.pow(j, r), bands)
+      val measured = found.getOrElse(lvl, 0).toDouble / pairsPerLevel
+      info(f"j=$j%.3f theory=$theory%.3f measured=$measured%.3f")
+      assert(math.abs(measured - theory) <= 0.05,
+        f"banding recall off-curve at j=$j%.3f: " +
+          f"measured=$measured%.3f theory=$theory%.3f")
+    }
+  }
 }
