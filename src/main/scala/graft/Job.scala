@@ -81,12 +81,32 @@ object Job {
         // mergeSchema itself rejects conflicting physical types across
         // buckets — cross-bucket type evolution requires rewriting old
         // buckets, as in real Iceberg; the cast covers same-bucket and
-        // time-travel reads)
+        // time-travel reads). Nullability is normalized before the
+        // compare/cast: encoder-derived tracked schemas mark primitives
+        // NOT NULL while parquet reads back nullable, and the analyzer
+        // rejects casting to a NOT NULL nested field.
         df.select(target.fields.toSeq.map { f =>
-          if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          val want = nullify(f.dataType)
+          if (!df.columns.contains(f.name)) lit(null).cast(want).as(f.name)
+          else if (nullify(df.schema(f.name).dataType) == want) col(f.name)
+          else col(f.name).cast(want).as(f.name)
         }: _*)
       case None => df
+    }
+  }
+
+  /** Recursively mark every field/element nullable (the public-API
+    * equivalent of Spark's private DataType.asNullable).
+    */
+  private def nullify(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = nullify(f.dataType), nullable = true)))
+      case a: ArrayType => ArrayType(nullify(a.elementType), true)
+      case m: MapType => MapType(nullify(m.keyType), nullify(m.valueType), true)
+      case other => other
     }
   }
 

@@ -253,11 +253,8 @@ object SparkEntry {
         .orderBy("fp")
     }),
 
-    "d2_ngram_jaccard" -> ((s, dir) => {
-      Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
-          n = 3, minJ = 0.5)
-        .orderBy("id_a", "id_b")
-    }),
+    "d2_ngram_jaccard" -> ((s, dir) =>
+      dupPairs(s, dir).orderBy("id_a", "id_b")),
 
     // oracle = the exact-Jaccard SQL at the same threshold: with
     // (perms=64, bands=16, r=4) candidate recall at the testdata's true
@@ -285,12 +282,12 @@ object SparkEntry {
 
     // dedup clustering: connected components over the exact near-dup
     // pairs; cluster_id = min reachable doc id (the kept canonical).
-    // Oracle = recursive-CTE transitive closure over the same pairs.
-    "d5_dup_clusters" -> ((s, dir) => {
-      val pairs = Dedup.jaccardPairs(t(s, dir, "documents"),
-        "text", "doc_id", n = 3, minJ = 0.5)
-      Dedup.dupClusters(pairs).orderBy("doc_id")
-    }),
+    // Runs the large-star/small-star variant (the extreme-edge-count
+    // algorithm; DedupSpec cross-checks it against the label-propagation
+    // variant). Oracle = recursive-CTE transitive closure over the same
+    // pairs.
+    "d5_dup_clusters" -> ((s, dir) =>
+      Dedup.dupClustersLargeStar(dupPairs(s, dir)).orderBy("doc_id")),
 
     // -------------------------------------------------------- similarity
     "s1_cosine_topk" -> ((s, dir) => {
@@ -515,6 +512,14 @@ object SparkEntry {
           $"success")
         .orderBy($"doc_id")
     }))
+
+  /** The exact near-dup pair table shared by d2 (which outputs it) and
+    * d5 (which clusters it) — one definition so the two queries and the
+    * bench's materialized-pairs timing can never drift apart.
+    */
+  private[graft] def dupPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(t(s, dir, "documents"), "text", "doc_id",
+      n = 3, minJ = 0.5)
 
   /** Certificate-style fixture text from documents columns (p2/p3):
     * every numeric stays below 1900 — including the product id, which

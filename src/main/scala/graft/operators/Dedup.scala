@@ -415,4 +415,64 @@ object Dedup {
     require(changed == 0, s"dupClusters did not converge in $maxIters rounds")
     labels.select(col("v").as("doc_id"), col("label").as("cluster_id"))
   }
+
+  /** Connected components via the ALTERNATING large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC 2014 — public): same output contract as dupClusters
+    * (every doc in a pair → cluster_id = min reachable id, minima map
+    * to themselves), but each round's output is BOUNDED — large-star
+    * emits one edge per (node, larger-neighbor) and small-star one per
+    * (node, smaller-neighbor), so per-round edge volume never exceeds
+    * the current edge count, where label propagation's join can fan a
+    * high-degree node's label into every neighbor list each round.
+    * This is the variant for extreme edge counts (10^9+ pair tables);
+    * converges in O(log n) rounds.
+    *
+    * Invariant: edges stay canonically oriented u > v. Large-star hangs
+    * every larger neighbor v of u under m = min(N(u) ∪ {u}); small-star
+    * re-hangs u and its smaller neighbors under m = min(N_<(u)).
+    * Convergence = round fixpoint (edge set unchanged), detected with
+    * one bag-union distinct count per round.
+    */
+  def dupClustersLargeStar(pairs: DataFrame, maxIters: Int = 64): DataFrame = {
+    var edges = pairs.select(
+        greatest(col("id_a"), col("id_b")).as("u"),
+        least(col("id_a"), col("id_b")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = if (edges.isEmpty) 0L else 1L
+    while (changed > 0 && iter < maxIters) {
+      // large-star: neighbors over both orientations; attach v > u to m
+      val nbrs = edges.select(col("u"), col("v"))
+        .union(edges.select(col("v").as("u"), col("u").as("v")))
+      val lmins = nbrs.groupBy("u")
+        .agg(least(min(col("v")), col("u")).as("m"))
+      val ls = nbrs.filter(col("v") > col("u"))
+        .join(lmins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      // small-star: all neighbors are < u (canonical orientation);
+      // re-hang u and each smaller neighbor under the smallest one
+      val smins = ls.groupBy("u").agg(min(col("v")).as("m"))
+      val ss = ls.join(smins, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .union(smins.select(col("u"), col("m").as("v")))
+        .distinct()
+        .localCheckpoint(true)
+      // fixpoint check: every edge present on both sides appears twice
+      // in the bag union (each side is distinct)
+      changed = ss.union(edges).groupBy("u", "v").count()
+        .filter(col("count") =!= 2).count()
+      edges = ss
+      iter += 1
+    }
+    require(changed == 0,
+      s"dupClustersLargeStar did not converge in $maxIters rounds")
+    edges.select(col("u").as("doc_id"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
+      .distinct()
+  }
 }

@@ -128,6 +128,37 @@ class DedupSpec extends AnyFunSuite {
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
   }
 
+  test("large-star/small-star CC matches label propagation on every shape") {
+    import spark.implicits._
+    def clustersOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_id", "cluster_id").as[(Long, Long)].collect().toSet
+    def check(pairs: Seq[(Long, Long)], hint: String): Unit = {
+      val df = pairs.toDF("id_a", "id_b")
+      val prop = clustersOf(Dedup.dupClusters(df))
+      val star = clustersOf(Dedup.dupClustersLargeStar(df))
+      assert(star == prop, s"$hint: star=$star prop=$prop")
+    }
+    // long chain: forces multiple alternating rounds (diameter 40)
+    check((0L until 40L).map(i => (i, i + 1)), "chain")
+    // chain given in DESCENDING id order (worst case for min hanging)
+    check((0L until 40L).map(i => (40L - i, 39L - i)), "reverse chain")
+    // hub star + separate triangle + isolated pair
+    check(Seq((5L, 1L), (5L, 2L), (5L, 9L), (5L, 7L),
+      (20L, 21L), (21L, 22L), (20L, 22L), (30L, 31L)), "star+triangle+pair")
+    // deterministic random graph, multiple mid-size components
+    val rnd = new scala.util.Random(42)
+    check(Seq.fill(300)((rnd.nextInt(120).toLong, rnd.nextInt(120).toLong))
+      .filter(p => p._1 != p._2), "random-120")
+    // the golden dedup corpus end to end
+    val pairs = Dedup.jaccardPairs(corpus(), "text", "doc_id", 3, 0.5)
+    val prop = clustersOf(Dedup.dupClusters(pairs))
+    val star = clustersOf(Dedup.dupClustersLargeStar(pairs))
+    assert(star == prop && star.nonEmpty)
+    // empty pair table → empty clustering, no crash
+    assert(clustersOf(Dedup.dupClustersLargeStar(
+      Seq.empty[(Long, Long)].toDF("id_a", "id_b"))).isEmpty)
+  }
+
   test("d3 oracle precondition: gate corpora have no mid-similarity pairs") {
     // d3's driver gate hash-compares LSH output to the EXACT jaccard
     // oracle at minJ=0.2, which is sound only while every true pair in
