@@ -922,15 +922,21 @@ object SparkEntry {
 
     "m1_media_meta" ->
       """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'wav' END AS kind,
-         CASE WHEN doc_id % 3 = 2 THEN 0 ELSE n_chars % 640 + 16 END AS width,
-         CASE WHEN doc_id % 3 = 2 THEN 0 ELSE n_chars % 480 + 16 END AS height,
-         CASE WHEN doc_id % 3 = 0 THEN (CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
-              WHEN doc_id % 3 = 1 THEN 3
-              ELSE n_chars % 2 + 1 END AS channels,
-         CASE WHEN doc_id % 3 = 2 THEN 8000 + (n_chars % 4) * 8000 ELSE 0 END AS sample_rate,
+         CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+              WHEN 3 THEN 'jpeg' WHEN 4 THEN 'tiff' ELSE 'webp' END AS kind,
+         CASE WHEN doc_id % 6 = 2 THEN 0 ELSE n_chars % 640 + 16 END AS width,
+         CASE WHEN doc_id % 6 = 2 THEN 0 ELSE n_chars % 480 + 16 END AS height,
+         CASE WHEN doc_id % 6 = 0 THEN (CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
+              WHEN doc_id % 6 = 1 THEN 3
+              WHEN doc_id % 6 = 2 THEN n_chars % 2 + 1
+              WHEN doc_id % 6 = 3 THEN (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
+              WHEN doc_id % 6 = 4 THEN n_chars % 3 + 1
+              ELSE 3 + n_chars % 2 END AS channels,
+         CASE WHEN doc_id % 6 = 2 THEN 8000 + (n_chars % 4) * 8000 ELSE 0 END AS sample_rate,
          octet_length(encode(text)) +
-           CASE doc_id % 3 WHEN 0 THEN 33 WHEN 1 THEN 54 ELSE 44 END AS n_bytes
+           CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
+                WHEN 3 THEN 30 + 3 * (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
+                WHEN 4 THEN 50 ELSE 30 END AS n_bytes
          FROM documents ORDER BY 1""",
 
     "p2_field_extract" ->

@@ -37,6 +37,10 @@ object Media {
       ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
   private def le16(b: Array[Byte], o: Int): Int =
     (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def be16(b: Array[Byte], o: Int): Int =
+    ((b(o) & 0xFF) << 8) | (b(o + 1) & 0xFF)
+  private def le24(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) | ((b(o + 2) & 0xFF) << 16)
 
   private val PngSig =
     Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A)
@@ -73,6 +77,75 @@ object Media {
   private def parseWav(id: String, b: Array[Byte]): MediaMeta =
     MediaMeta(id, "wav", 0, 0, le16(b, 22), le32(b, 24), b.length)
 
+  /** JPEG (ITU T.81): marker scan from SOI to the first SOF frame
+    * header — FF Cn with n outside {4 (DHT), 8 (JPG), C (DAC)} — whose
+    * payload is [len][precision][height BE16][width BE16][components].
+    * Standalone markers (RSTn, TEM, repeated SOI) carry no length;
+    * every other segment is skipped by its BE16 length.
+    */
+  private def parseJpeg(id: String, b: Array[Byte]): MediaMeta = {
+    var i = 2
+    while (i + 9 < b.length && (b(i) & 0xFF) == 0xFF) {
+      val m = b(i + 1) & 0xFF
+      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+        return MediaMeta(id, "jpeg", be16(b, i + 7), be16(b, i + 5),
+          b(i + 9) & 0xFF, 0, b.length)
+      else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2
+      else if (m == 0xD9 || m == 0xDA) i = b.length // EOI / entropy data
+      else i += 2 + be16(b, i + 2)
+    }
+    MediaMeta(id, "bin", 0, 0, 0, 0, b.length) // no frame header found
+  }
+
+  /** TIFF 6.0: byte-order mark (II little / MM big), magic 42, first
+    * IFD offset; IFD entries are 12 bytes (tag, type, count, value) —
+    * SHORT values sit inline in the value field's first two bytes in
+    * FILE byte order. Tags: 256 ImageWidth, 257 ImageLength,
+    * 277 SamplesPerPixel (default 1 per spec).
+    */
+  private def parseTiff(id: String, b: Array[Byte]): MediaMeta = {
+    val little = b(0) == 'I'
+    def u16(o: Int) = if (little) le16(b, o) else be16(b, o)
+    def u32(o: Int) = if (little) le32(b, o) else be32(b, o)
+    val ifd = u32(4)
+    val n = u16(ifd)
+    var (w, h, ch) = (0, 0, 1)
+    var k = 0
+    while (k < n) {
+      val e = ifd + 2 + k * 12
+      val tag = u16(e)
+      val typ = u16(e + 2)
+      val v = if (typ == 3) u16(e + 8) else u32(e + 8)
+      if (tag == 256) w = v
+      else if (tag == 257) h = v
+      else if (tag == 277) ch = v
+      k += 1
+    }
+    MediaMeta(id, "tiff", w, h, ch, 0, b.length)
+  }
+
+  /** WebP (RIFF container): VP8X extended header (24-bit canvas - 1,
+    * alpha flag bit 4), VP8 lossy frame (sync 9D 01 2A, 14-bit dims),
+    * or VP8L lossless (sig 2F, 14-bit dims - 1 packed, alpha bit 28).
+    */
+  private def parseWebp(id: String, b: Array[Byte]): MediaMeta = {
+    def fourcc(s: String) = s.indices.forall(i => b(12 + i) == s(i).toByte)
+    if (fourcc("VP8X") && b.length >= 30) {
+      val alpha = (b(20) & 0x10) != 0
+      MediaMeta(id, "webp", le24(b, 24) + 1, le24(b, 27) + 1,
+        if (alpha) 4 else 3, 0, b.length)
+    } else if (fourcc("VP8 ") && b.length >= 30 &&
+        (b(23) & 0xFF) == 0x9D && (b(24) & 0xFF) == 0x01 &&
+        (b(25) & 0xFF) == 0x2A)
+      MediaMeta(id, "webp", le16(b, 26) & 0x3FFF, le16(b, 28) & 0x3FFF,
+        3, 0, b.length)
+    else if (fourcc("VP8L") && b.length >= 25 && (b(20) & 0xFF) == 0x2F) {
+      val bits = le32(b, 21)
+      MediaMeta(id, "webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1,
+        if (((bits >> 28) & 1) == 1) 4 else 3, 0, b.length)
+    } else MediaMeta(id, "bin", 0, 0, 0, 0, b.length)
+  }
+
   /** Sniff + parse. Unknown/truncated payloads degrade to kind=bin
     * with byte count only — one bad blob must not kill a 10^12-doc
     * job.
@@ -87,6 +160,14 @@ object Media {
       else if (b.length >= 30 && sig(0, "BM")) parseBmp(id, b)
       else if (b.length >= 44 && sig(0, "RIFF") && sig(8, "WAVE"))
         parseWav(id, b)
+      else if (b.length >= 20 && sig(0, "RIFF") && sig(8, "WEBP"))
+        parseWebp(id, b)
+      else if (b.length >= 12 && (b(0) & 0xFF) == 0xFF &&
+          (b(1) & 0xFF) == 0xD8) parseJpeg(id, b)
+      else if (b.length >= 14 && // 8-byte header + a 1-entry IFD minimum
+
+          ((sig(0, "II") && b(2) == 42 && b(3) == 0) ||
+            (sig(0, "MM") && b(2) == 0 && b(3) == 42))) parseTiff(id, b)
       else MediaMeta(id, "bin", 0, 0, 0, 0, b.length)
     } catch {
       case _: IndexOutOfBoundsException =>
@@ -128,6 +209,52 @@ object Media {
       le32b(0) ++ le32b(0) ++ body
   }
 
+  /** Minimal structurally-valid JPEG prefix: SOI, a JFIF APP0 (so the
+    * parser proves real marker SCANNING, not a fixed offset), and an
+    * SOF0 frame header carrying dims + component count; body appended.
+    * Header = 30 + 3*channels bytes.
+    */
+  def jpegBytes(width: Int, height: Int, channels: Int,
+      body: Array[Byte]): Array[Byte] = {
+    val app0 = Array[Byte](0xFF.toByte, 0xE0.toByte, 0, 16,
+      'J', 'F', 'I', 'F', 0, 1, 1, 0, 0, 1, 0, 1, 0, 0)
+    val comps = (1 to channels).flatMap(c =>
+      Seq(c.toByte, 0x11.toByte, 0.toByte)).toArray
+    val sofLen = 8 + 3 * channels
+    val sof = Array[Byte](0xFF.toByte, 0xC0.toByte,
+      ((sofLen >> 8) & 0xFF).toByte, (sofLen & 0xFF).toByte, 8,
+      ((height >> 8) & 0xFF).toByte, (height & 0xFF).toByte,
+      ((width >> 8) & 0xFF).toByte, (width & 0xFF).toByte,
+      channels.toByte) ++ comps
+    Array[Byte](0xFF.toByte, 0xD8.toByte) ++ app0 ++ sof ++ body
+  }
+
+  /** Little-endian TIFF: 8-byte header, one IFD with ImageWidth /
+    * ImageLength / SamplesPerPixel SHORT entries (inline values), body
+    * after. Header = 50 bytes.
+    */
+  def tiffBytes(width: Int, height: Int, channels: Int,
+      body: Array[Byte]): Array[Byte] = {
+    def entry(tag: Int, v: Int): Array[Byte] =
+      le16b(tag) ++ le16b(3) ++ le32b(1) ++ le16b(v) ++ le16b(0)
+    "II".getBytes("US-ASCII") ++ le16b(42) ++ le32b(8) ++
+      le16b(3) ++ entry(256, width) ++ entry(257, height) ++
+      entry(277, channels) ++ le32b(0) ++ body
+  }
+
+  /** WebP VP8X (extended) container: canvas dims as 24-bit minus-one
+    * fields, alpha flag for 4-channel payloads. Header = 30 bytes.
+    */
+  def webpBytes(width: Int, height: Int, alpha: Boolean,
+      body: Array[Byte]): Array[Byte] = {
+    def le24b(v: Int) = Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte)
+    "RIFF".getBytes("US-ASCII") ++ le32b(22 + body.length) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8X".getBytes("US-ASCII") ++
+      le32b(10) ++ Array[Byte](if (alpha) 0x10 else 0, 0, 0, 0) ++
+      le24b(width - 1) ++ le24b(height - 1) ++ body
+  }
+
   /** Canonical 44-byte WAV header (PCM16) + body as sample data. */
   def wavBytes(channels: Int, sampleRate: Int,
       body: Array[Byte]): Array[Byte] = {
@@ -143,10 +270,12 @@ object Media {
 
   /** Fixture payload builder: emits (doc_id, payload) where payload is
     * REAL container bytes built from per-row parameters (kind rotates
-    * png/bmp/wav by doc_id; dims/rate derive from n_chars) with the
-    * utf-8 text as body — the stand-in for fetched media bytes keyed
-    * by media_ref. REQUIRES doc_id and n_chars columns (the documents
-    * table shape); other columns are intentionally dropped.
+    * png/bmp/wav/jpeg/tiff/webp by doc_id — the reference's input
+    * whitelist, core/processors/document_processor.py:111-117;
+    * dims/rate derive from n_chars) with the utf-8 text as body — the
+    * stand-in for fetched media bytes keyed by media_ref. REQUIRES
+    * doc_id and n_chars columns (the documents table shape); other
+    * columns are intentionally dropped.
     */
   def withPayload(df: DataFrame, textCol: String): DataFrame = {
     val spark = df.sparkSession
@@ -157,11 +286,14 @@ object Media {
         encode(col(textCol), "UTF-8"))
       .as[(Long, Int, Array[Byte])]
       .mapPartitions(_.map { case (did, nc, body) =>
-        val payload = (did % 3) match {
-          case 0 => pngBytes(nc % 640 + 16, nc % 480 + 16,
-            Seq(0, 2, 6)(nc % 3), body)
-          case 1 => bmpBytes(nc % 640 + 16, nc % 480 + 16, body)
-          case _ => wavBytes(nc % 2 + 1, 8000 + (nc % 4) * 8000, body)
+        val (w, h) = (nc % 640 + 16, nc % 480 + 16)
+        val payload = (did % 6) match {
+          case 0 => pngBytes(w, h, Seq(0, 2, 6)(nc % 3), body)
+          case 1 => bmpBytes(w, h, body)
+          case 2 => wavBytes(nc % 2 + 1, 8000 + (nc % 4) * 8000, body)
+          case 3 => jpegBytes(w, h, Seq(1, 3)(nc % 2), body)
+          case 4 => tiffBytes(w, h, nc % 3 + 1, body)
+          case _ => webpBytes(w, h, nc % 2 == 1, body)
         }
         (did, payload)
       })

@@ -44,6 +44,58 @@ class MediaSpec extends AnyFunSuite {
     assert(m.kind == "wav" && m.channels == 2 && m.sample_rate == 16000)
   }
 
+  test("JPEG parser reads ImageIO-encoded files (marker scan past APPn)") {
+    for ((typ, ch) <- Seq(
+        java.awt.image.BufferedImage.TYPE_3BYTE_BGR -> 3,
+        java.awt.image.BufferedImage.TYPE_BYTE_GRAY -> 1)) {
+      val img = new java.awt.image.BufferedImage(41, 23, typ)
+      val bos = new ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos))
+      val m = Media.decode("x", bos.toByteArray)
+      assert(m.kind == "jpeg" && m.width == 41 && m.height == 23 &&
+        m.channels == ch, m)
+    }
+  }
+
+  test("TIFF parser reads ImageIO-encoded files (both byte orders ours+JDK)") {
+    val img = new java.awt.image.BufferedImage(29, 13,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val bos = new ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "tiff", bos))
+    val m = Media.decode("x", bos.toByteArray)
+    assert(m.kind == "tiff" && m.width == 29 && m.height == 13 &&
+      m.channels == 3, m)
+  }
+
+  test("WebP parser: VP8X builder round-trip plus spec-layout VP8/VP8L") {
+    val body = "payload".getBytes("UTF-8")
+    val x = Media.decode("x", Media.webpBytes(320, 240, alpha = true, body))
+    assert(x.kind == "webp" && x.width == 320 && x.height == 240 &&
+      x.channels == 4 && x.n_bytes == 30L + body.length, x)
+    val x3 = Media.decode("x", Media.webpBytes(16, 16, alpha = false, body))
+    assert(x3.channels == 3)
+    // VP8 lossy: frame tag + sync 9D 01 2A + 14-bit dims (RFC-described
+    // public layout), hand-laid bytes
+    def rw(tag: String, payload: Array[Byte]): Array[Byte] =
+      "RIFF".getBytes ++ Array[Byte](0, 0, 0, 0) ++ "WEBP".getBytes ++
+        tag.getBytes ++ Array[Byte]((payload.length & 0xFF).toByte, 0, 0, 0) ++
+        payload
+    val vp8 = rw("VP8 ", Array[Byte](0, 0, 0, 0x9D.toByte, 0x01, 0x2A,
+      (500 & 0xFF).toByte, (500 >> 8).toByte,
+      (300 & 0xFF).toByte, (300 >> 8).toByte))
+    val v = Media.decode("v", vp8)
+    assert(v.kind == "webp" && v.width == 500 && v.height == 300 &&
+      v.channels == 3, v)
+    // VP8L lossless: sig 0x2F, then LE32 of (w-1) | (h-1)<<14 | alpha<<28
+    val bits = (100 - 1) | ((70 - 1) << 14) | (1 << 28)
+    val vp8l = rw("VP8L", Array[Byte](0x2F,
+      (bits & 0xFF).toByte, ((bits >> 8) & 0xFF).toByte,
+      ((bits >> 16) & 0xFF).toByte, ((bits >> 24) & 0xFF).toByte))
+    val l = Media.decode("l", vp8l)
+    assert(l.kind == "webp" && l.width == 100 && l.height == 70 &&
+      l.channels == 4, l)
+  }
+
   test("builders round-trip through the parsers") {
     val body = "hello media".getBytes("UTF-8")
     val p = Media.decode("p", Media.pngBytes(640, 480, 6, body))
@@ -55,6 +107,14 @@ class MediaSpec extends AnyFunSuite {
     val w = Media.decode("w", Media.wavBytes(1, 24000, body))
     assert(w.kind == "wav" && w.channels == 1 && w.sample_rate == 24000 &&
       w.n_bytes == 44L + body.length)
+    val j = Media.decode("j", Media.jpegBytes(200, 100, 3, body))
+    assert(j.kind == "jpeg" && j.width == 200 && j.height == 100 &&
+      j.channels == 3 && j.n_bytes == 39L + body.length)
+    val j1 = Media.decode("j", Media.jpegBytes(8, 8, 1, body))
+    assert(j1.channels == 1 && j1.n_bytes == 33L + body.length)
+    val t = Media.decode("t", Media.tiffBytes(77, 55, 4, body))
+    assert(t.kind == "tiff" && t.width == 77 && t.height == 55 &&
+      t.channels == 4 && t.n_bytes == 50L + body.length)
   }
 
   test("junk and truncated payloads degrade to kind=bin, never throw") {
