@@ -254,27 +254,42 @@ object Bench {
     ensureCorpus()
     extractionTrials(16, 1) // global JIT/page-cache warm before window 1
 
-    val windows = scala.collection.mutable.ArrayBuffer.empty[Window]
-    while (windows.size < maxWindows &&
-      windows.count(w => w.qualified && w.effCluster.isDefined) < 3)
-      windows += measureWindow()
-    val all = windows.toSeq
     // second health gate, on the measured WORKLOAD itself: pure-CPU
     // spins cannot see memory-bandwidth/neighbor contention, so a
     // window whose throughput fell far below the same run's best was
     // measured on a degraded box — exclude it (and say so) rather than
     // let it drag the median
-    val bestT16 = all.map(_.thr16).max
-    val bestC16 = all.flatMap(_.clu16) match {
-      case Seq() => 0.0; case xs => xs.max }
-    def healthy(w: Window): Boolean =
-      w.thr16 >= 0.8 * bestT16 &&
-        w.clu16.forall(c => bestC16 == 0.0 || c >= 0.75 * bestC16)
-    val qual = all.filter(w => w.qualified && healthy(w))
-    val capacityLimited = qual.isEmpty
-    val use = if (capacityLimited) all else qual // honest fallback, flagged
-    val clusterEffs = use.flatMap(_.effCluster)
-    val threadEffs = use.map(_.effThreads)
+    def qualOf(ws: Seq[Window]): Seq[Window] =
+      if (ws.isEmpty) Seq.empty
+      else {
+        val bestT16 = ws.map(_.thr16).max
+        val bestC16 = ws.flatMap(_.clu16) match {
+          case Seq() => 0.0; case xs => xs.max }
+        ws.filter(w => w.qualified &&
+          w.thr16 >= 0.8 * bestT16 &&
+          w.clu16.forall(c => bestC16 == 0.0 || c >= 0.75 * bestC16))
+      }
+    val windows = scala.collection.mutable.ArrayBuffer.empty[Window]
+    // the headline must never rest on a single window: measure up to
+    // maxWindows as before, then keep extending (bounded by a hard cap
+    // that respects the driver's wall-time envelope) until >= 2 windows
+    // pass BOTH gates — or give up and flag capacity_limited
+    val hardCap = math.max(maxWindows, math.min(maxWindows + 2, 5))
+    while ((windows.size < maxWindows &&
+        qualOf(windows.toSeq).count(_.effCluster.isDefined) < 3) ||
+      (windows.size < hardCap && qualOf(windows.toSeq).size < 2))
+      windows += measureWindow()
+    val all = windows.toSeq
+    val qual = qualOf(all)
+    val capacityLimited = qual.size < 2
+    val use = if (qual.isEmpty) all else qual // honest fallback, flagged
+    // normalized efficiency is capped at 1.0 for the headline: the
+    // membw-shaped calibration can over-normalize a few percent (effT
+    // 1.08 observed) and a >1 "efficiency" is not a measurement of
+    // anything real; uncapped medians are published alongside
+    def capEff(e: Double): Double = math.min(e, 1.0)
+    val clusterEffs = use.flatMap(_.effCluster).map(capEff)
+    val threadEffs = use.map(w => capEff(w.effThreads))
     val clusterMode = clusterEffs.nonEmpty
     // threads are the headline: the task-sanctioned two-parallelism
     // rendition AND the low-variance one on a shared box; executor
@@ -295,6 +310,9 @@ object Bench {
       "scaling_efficiency_executors_1_to_4" ->
         (if (clusterMode) median(clusterEffs) else 0.0),
       "scaling_efficiency_threads" -> median(threadEffs),
+      "scaling_efficiency_threads_uncapped" -> median(use.map(_.effThreads)),
+      "scaling_efficiency_all_windows" ->
+        median(all.map(w => capEff(w.effThreads))),
       "scaling_efficiency_is_threads" -> 1.0,
       "scaling_efficiency_raw_unnormalized" ->
         median(use.map(w => (w.thr16 / w.thr4) / 4.0)),
@@ -304,10 +322,15 @@ object Bench {
       "capacity_limited" -> (if (capacityLimited) 1.0 else 0.0),
       "extract_bench_docs" -> ExtractDocs.toDouble)
 
+    // capacity_limited rides at TOP level (not only inside queries): a
+    // consumer reading just "value" must see that the number came from
+    // a fallback/underqualified run
+    val capFlag = if (capacityLimited) 1 else 0
+
     if (scalingOnly) {
       val qs0 = scaling.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
         .mkString("{", ",", "}")
-      println(f"{\"metric\":\"scaling\",\"value\":$headline%.4f,\"unit\":\"eff\",\"queries\":$qs0%s,\"sf\":\"$sfDir%s\"}")
+      println(f"{\"metric\":\"scaling\",\"value\":$headline%.4f,\"unit\":\"eff\",\"capacity_limited\":$capFlag%d,\"queries\":$qs0%s,\"sf\":\"$sfDir%s\"}")
       return
     }
 
@@ -346,7 +369,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","queries":$qs%s,"sf":"$sfDir%s"}"""
+      f"""{"metric":"total","value":$total%.4f,"unit":"sec","capacity_limited":$capFlag%d,"queries":$qs%s,"sf":"$sfDir%s"}"""
     // the line must reach the driver unprefixed (build.sbt routes forked
     // stdout straight through); BENCH_LAST.json is the on-disk backup
     println(line)

@@ -507,9 +507,13 @@ object SparkEntry {
 
     "p1_extract_pipeline" -> ((s, dir) => { // no SQL oracle (pipeline)
       import s.implicits._
+      // span_digest: xxhash64 over the full ordered span sequence
+      // (kind, text, media_ref, order struct array) — a
+      // content-sensitive column so the driver's rows-only check pins
+      // more than cardinality; any drift in extraction output flips it
       extracted300(s)
         .select($"doc_id", size($"spans").as("n_spans"), $"spans_in",
-          $"success")
+          $"success", xxhash64($"spans").as("span_digest"))
         .orderBy($"doc_id")
     }))
 

@@ -71,6 +71,16 @@ class PlanSpec extends AnyFunSuite {
     assert(countExchanges(p) <= 2, p)
   }
 
+  test("s3: hub-capped near-dup plan — oversize list broadcasts, no cartesian") {
+    val df = SparkEntry.queries("s3_cosine_neardups")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the maxBucket re-split joins the (tiny) oversized-bucket list back
+    // by broadcast — the banded corpus is never hash-exchanged for it
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("d2: prefix-filtered join never degenerates to a cross product") {
     val df = SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
     df.collect()
