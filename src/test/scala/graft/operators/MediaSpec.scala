@@ -125,4 +125,31 @@ class MediaSpec extends AnyFunSuite {
     val trunc = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A, 0, 0)
     assert(Media.decode("t", trunc).kind == "bin")
   }
+
+  test("decode is total: random bytes and truncated real headers never throw") {
+    // one bad blob must not kill a 10^12-doc job — fuzz every parser's
+    // dispatch path with (a) fully random bytes, (b) every real header
+    // truncated at every length (exercises the IndexOutOfBounds guard
+    // in each parser, including the new jpeg/tiff/webp ones)
+    val rnd = new java.util.Random(7)
+    (0 until 2000).foreach { i =>
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      Media.decode(s"r$i", b) // must not throw
+    }
+    val body = "x".getBytes
+    val full = Seq(
+      Media.pngBytes(10, 10, 2, body), Media.bmpBytes(10, 10, body),
+      Media.wavBytes(1, 8000, body), Media.jpegBytes(10, 10, 3, body),
+      Media.tiffBytes(10, 10, 3, body),
+      Media.webpBytes(10, 10, alpha = false, body))
+    for (f <- full; n <- 0 to f.length)
+      Media.decode("t", f.take(n)) // every truncation must not throw
+    // and corrupted marker/IFD fields inside valid signatures
+    for (f <- full; _ <- 0 until 50) {
+      val c = f.clone()
+      c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte
+      Media.decode("c", c)
+    }
+  }
 }
