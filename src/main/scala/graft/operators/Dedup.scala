@@ -72,6 +72,11 @@ object Dedup {
     // shingling via the JIT Scala kernel (same values as wordShingles —
     // verified by the DuckDB oracle on this exact operator); ids pass
     // through as strings and are cast back to their original type below
+    // materialized ONCE (localCheckpoint → block store, cleaned by the
+    // ContextCleaner when unreferenced): five consumers read this table
+    // (prefix explode, two hash-screen joins, two exact-verify joins) —
+    // without it each one re-runs the tokenize+shingle+hash kernel over
+    // the whole corpus, five scans instead of one at 10^9 docs
     val sh = docs.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
@@ -81,6 +86,7 @@ object Dedup {
       })
       .toDF("doc_id", "sh", "hs")
       .filter(size(col("sh")) > 0)
+      .localCheckpoint(true)
     val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
       explode(col("sh")).as("g"))
     val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
@@ -206,8 +212,12 @@ object Dedup {
     val idType = docs.schema(idCol).dataType
     val rowsPerBand = perms / bands
     require(bands * rowsPerBand == perms, "bands must divide perms")
+    // materialized once (three consumers: banding scan + the two
+    // candidate verify joins — see jaccardPairs' note)
     val tokenized = docs.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
+      .as[(String, Seq[String])]
+      .toDF("doc_id", "t").localCheckpoint(true)
       .as[(String, Seq[String])]
     // one (band, bandHash) row per band — ids only; shingling + minhash
     // run exactly ONCE over the corpus, and the band self-join never
