@@ -310,6 +310,18 @@ object SparkEntry {
         .orderBy("query_id", "rk")
     }),
 
+    // IVF-Flat ANN (the coarse-quantizer scale path alongside LSH):
+    // deterministic centroids (16 lowest-id vectors), nprobe=4 —
+    // the oracle replays assignment, probing, and ranking in SQL, so
+    // the APPROXIMATE semantics themselves are verified, like s2.
+    "s4_ann_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      Similarity.ivfTopK(emb, emb.filter($"vec_id" < 3),
+          "embedding", "vec_id", k = 10, cells = 16, nprobe = 4)
+        .orderBy("query_id", "rk")
+    }),
+
     // banded multi-table LSH with planes sized to the corpus:
     // planes = max(2, ceil(log2(n/125))) targets ~125 vectors per
     // bucket. At the driver's gate scale (n=500 -> 2 planes, 48
@@ -624,8 +636,11 @@ object SparkEntry {
      b AS (SELECT e.vec_id, e.v, bk.bucket FROM e JOIN bk USING (vec_id))"""
 
   private def cosSql(a: String, b: String): String =
-    s"round(list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
-      s"sqrt(list_dot_product($b, $b))), 6)"
+    s"round(${cosRawSql(a, b)}, 6)"
+
+  private def cosRawSql(a: String, b: String): String =
+    s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
+      s"sqrt(list_dot_product($b, $b)))"
 
   /** FNV-1a 64 over code points as a DuckDB HUGEINT fold — the exact
     * mirror of graft.operators.Dedup.fnv1a64 (d4's signature hash).
@@ -906,6 +921,28 @@ object SparkEntry {
          cand AS (SELECT pr.query_id, pr.qv, b.vec_id, b.v
                   FROM pr JOIN b USING (bucket) WHERE b.vec_id <> pr.query_id),
          scored AS (SELECT query_id, vec_id, ${cosSql("qv", "v")} AS score FROM cand),
+         ranked AS (SELECT query_id, vec_id, score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, vec_id) AS rk FROM scored)
+         SELECT query_id, vec_id, score, rk FROM ranked WHERE rk <= 10
+         ORDER BY query_id, rk""",
+
+    // the FULL IVF path in SQL: same centroid rule, same tie-breaks
+    // (cos DESC, then centroid/vector id), same probe width
+    "s4_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+         ac AS (SELECT e.vec_id, e.v, c.cid,
+                  row_number() OVER (PARTITION BY e.vec_id
+                    ORDER BY ${cosRawSql("e.v", "c.cv")} DESC, c.cid) AS rn
+                FROM e, c),
+         a AS (SELECT vec_id, v, cid FROM ac WHERE rn = 1),
+         q AS (SELECT vec_id AS query_id, v AS qv, cid
+               FROM ac WHERE vec_id < 3 AND rn <= 4),
+         cand AS (SELECT q.query_id, q.qv, a.vec_id, a.v
+                  FROM q JOIN a USING (cid) WHERE a.vec_id <> q.query_id),
+         scored AS (SELECT query_id, vec_id, ${cosSql("qv", "v")} AS score
+                    FROM cand),
          ranked AS (SELECT query_id, vec_id, score,
                       row_number() OVER (PARTITION BY query_id
                         ORDER BY score DESC, vec_id) AS rk FROM scored)

@@ -295,6 +295,98 @@ object Similarity {
     }
   }
 
+  /** Nearest-centroid assignment: strict > keeps the FIRST (lowest
+    * index) among ties, and Double.compare puts NaN above reals — both
+    * match the IVF oracle's ORDER BY cos DESC, cid.
+    */
+  def ivfNearest(cents: Array[Array[Float]], v: Array[Float]): Int = {
+    var best = 0
+    var bestScore = rawCosine(v, cents(0))
+    var i = 1
+    while (i < cents.length) {
+      val s = rawCosine(v, cents(i))
+      if (java.lang.Double.compare(s, bestScore) > 0) { best = i; bestScore = s }
+      i += 1
+    }
+    best
+  }
+
+  /** The query's nprobe nearest cells, (cos desc, index asc) order. */
+  def ivfProbes(cents: Array[Array[Float]], v: Array[Float],
+      nprobe: Int): Array[Int] =
+    cents.indices.map(i => (rawCosine(v, cents(i)), i))
+      .sortWith { case ((sa, ia), (sb, ib)) =>
+        val c = java.lang.Double.compare(sa, sb) // NaN above reals,
+        if (c != 0) c > 0 else ia < ib           // like the SQL DESC
+      }
+      .take(nprobe).map(_._2).toArray
+
+  /** IVF-Flat approximate top-k (Faiss-style inverted-file ANN, the
+    * coarse-quantizer alternative to LSH): the corpus is partitioned
+    * into `cells` by nearest centroid, each query probes its `nprobe`
+    * nearest cells, and candidates go through the same two-phase exact
+    * top-k as the other ANN paths.
+    *
+    * The coarse quantizer is DETERMINISTIC: the `cells` lowest-id
+    * vectors are the centroids (a fixed sample — k-means would converge
+    * data-dependently and be unverifiable cross-engine; cell/probe
+    * mechanics are identical). Centroids are a bounded MODEL artifact,
+    * like the LSH plane matrices: collected once (explicitly capped,
+    * never corpus-sized) and shipped in the task closure, so assignment
+    * is a single corpus scan with zero joins — the way a trained IVF
+    * index ships its centroid table to workers.
+    *
+    * Ties everywhere break toward the lower centroid index / id, so an
+    * external SQL engine reproduces cells, probes, and ranks exactly
+    * (the s4 oracle replays the whole path in DuckDB).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, vecCol: String,
+      idCol: String, k: Int, cells: Int, nprobe: Int): DataFrame = {
+    require(cells >= 1 && cells <= 65536,
+      s"cells must be in [1, 65536] (got $cells) — centroids ship in the closure")
+    require(nprobe >= 1 && nprobe <= cells, s"nprobe must be in [1, $cells]")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val idType = corpus.schema(idCol).dataType
+    val idSql = sqlNameOf(idType)
+    val cents: Array[Array[Float]] = corpus
+      .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
+      .orderBy(col("id")).limit(cells)
+      .select(col("v")).as[Array[Float]].collect()
+    val np = nprobe
+
+    def run[I](implicit ord: Ordering[I],
+        e1: Encoder[(I, Array[Float])],
+        e2: Encoder[(I, Array[Float], Int)],
+        e3: Encoder[(I, I, Double)],
+        e4: Encoder[(I, Array[Float], I, Array[Float])]): DataFrame = {
+      val assigned = corpus
+        .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
+        .as[(I, Array[Float])]
+        .mapPartitions(_.map { case (id, v) => (id, v, ivfNearest(cents, v)) })
+        .toDF("vec_id", "v", "cell")
+      val qp = broadcast(queries
+        .select(col(idCol).cast(idSql).as("id"), col(vecCol).as("v"))
+        .as[(I, Array[Float])]
+        .mapPartitions(_.flatMap { case (id, v) =>
+          ivfProbes(cents, v, np).iterator.map(c => (id, v, c))
+        }).toDF("query_id", "qv", "cell"))
+      val pairs = assigned.join(qp, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("qv"), col("vec_id"), col("v"))
+      finalizeTopK(partialTopK[I](
+          pairs.as[(I, Array[Float], I, Array[Float])], k)
+        .toDF("query_id", "vec_id", "score"), idType, k)
+    }
+
+    idType match {
+      case StringType =>
+        implicit val ord: Ordering[String] = Utf8Ordering
+        run[String]
+      case _ => run[Long]
+    }
+  }
+
   /** Embedding-cosine near-duplicate pairs (rounded score >= minCos)
     * via banded multi-table hyperplane LSH: `tables` independent
     * `planes`-bit bucketings; a pair is a candidate if it collides in

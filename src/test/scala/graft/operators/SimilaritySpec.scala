@@ -185,6 +185,36 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.sizePlanes(1000000000L, 125) == 23)
   }
 
+  test("ivf top-k: probed cells cover the true neighbors, scores exact") {
+    import spark.implicits._
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val q = emb.filter($"vec_id" < 3)
+    val bf = Similarity.bruteForceTopK(emb, q, "embedding", "vec_id", 10)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id")) ->
+        r.getAs[Double]("score")).toMap
+    val ivf = Similarity.ivfTopK(emb, q, "embedding", "vec_id",
+        k = 10, cells = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("score"), r.getAs[Int]("rk")))
+    assert(ivf.nonEmpty)
+    // every returned score equals the exact cosine (verification exact)
+    ivf.foreach { case (qid, vid, s, _) =>
+      bf.get((qid, vid)).foreach(exact => assert(exact == s))
+    }
+    // rk dense from 1 per query
+    ivf.groupBy(_._1).values.foreach { rows =>
+      assert(rows.map(_._4).sorted.toSeq == (1 to rows.length))
+    }
+    // recall against brute force is meaningful at nprobe=4/16 cells
+    val recall = ivf.map(r => (r._1, r._2)).count(bf.contains).toDouble / bf.size
+    assert(recall >= 0.3, s"ivf recall@10 too low: $recall")
+    // nprobe = cells degenerates to exact brute-force
+    val full = Similarity.ivfTopK(emb, q, "embedding", "vec_id",
+        k = 10, cells = 16, nprobe = 16)
+      .collect().map(r => (r.getLong(0), r.getAs[Long]("vec_id"))).toSet
+    assert(full == bf.keySet)
+  }
+
   test("multi-table LSH recall tracks the independence theory curve") {
     // Regression guard for hyperplane quality: correlated planes (the
     // LCG-lattice bug) collapse recall far below the independent-plane
