@@ -346,17 +346,21 @@ object Bench {
       // untimed — otherwise the PPJoin is silently double-counted
       // across d2 + d5
       if (name == "d5_dup_clusters") {
-        val pairs = SparkEntry.dupPairs(spark, sfDir)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        pairs.count() // untimed materialization
-        val t0 = System.nanoTime()
+        // the whole special case is guarded like every other query: a
+        // failed materialization must cost a zeroed line, not the run
         try {
-          graft.operators.Dedup.dupClustersLargeStar(pairs)
-            .write.format("noop").mode("overwrite").save()
-        } catch { case _: Throwable => () }
-        val dt = (System.nanoTime() - t0) / 1e9
-        pairs.unpersist()
-        name -> dt
+          val pairs = SparkEntry.dupPairs(spark, sfDir)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          pairs.count() // untimed materialization
+          val t0 = System.nanoTime()
+          try {
+            graft.operators.Dedup.dupClustersLargeStar(pairs)
+              .write.format("noop").mode("overwrite").save()
+          } catch { case _: Throwable => () }
+          val dt = (System.nanoTime() - t0) / 1e9
+          pairs.unpersist()
+          name -> dt
+        } catch { case _: Throwable => name -> 0.0 }
       } else {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }

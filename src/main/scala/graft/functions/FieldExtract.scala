@@ -50,9 +50,12 @@ object FieldExtract {
       lit(FieldPatterns.size) * 100, 2)
   }
 
-  /** Tolerant value comparator (reference X7,
-    * model_evaluator.py:338-366): exact numeric within |Δ| < 0.01, else
-    * case-insensitive trimmed string equality.
+  /** Numeric-leaning tolerant comparator used by the x3 financial
+    * reconciliation query: strips thousands separators before the
+    * numeric parse and null-propagates like ordinary SQL equality.
+    * This is deliberately NOT the reference's `_values_match` — that
+    * exact re-expression (no comma handling, null-safe exact branch,
+    * never-null result) is [[valuesMatch]] below; pick by contract.
     */
   def tolerantEquals(a: Column, b: Column): Column = {
     // try_cast: non-numeric strings become null (ANSI-safe), falling
@@ -63,18 +66,31 @@ object FieldExtract {
       .otherwise(lower(trim(a.cast("string"))) === lower(trim(b.cast("string"))))
   }
 
+  /** Python str.strip() analog: trims ALL leading/trailing whitespace
+    * (tabs, newlines), not only spaces like Spark's trim().
+    */
+  private def wstrip(c: Column): Column =
+    regexp_replace(c, "^\\s+|\\s+$", "")
+
   /** `_values_match` (model_evaluator.py:338-366) as a never-null
     * boolean Column: exact (null-safe) equality, else numeric parse of
-    * both sides within |Δ| < 0.01 (try_cast re-expresses Python's
-    * float/int parse; unparseable → null → branch false), else
-    * case-insensitive trimmed string equality.
+    * both sides within |Δ| < 0.01, else case-insensitive
+    * whitespace-stripped string equality.
+    *
+    * Re-expression boundary, on purpose: the reference gates its
+    * numeric parse on `'.' in value` (so `int("1e3")` raises and falls
+    * to the string branch, while `int("1_000")` parses); try_cast
+    * accepts scientific notation and rejects underscore separators.
+    * Both forms are absent from certificate-style extraction values —
+    * matching CPython's literal grammar corner-for-corner is not the
+    * contract.
     */
   def valuesMatch(a: Column, b: Column): Column = {
-    val na = trim(a).try_cast("double")
-    val nb = trim(b).try_cast("double")
+    val na = wstrip(a).try_cast("double")
+    val nb = wstrip(b).try_cast("double")
     (a <=> b) ||
       (na.isNotNull && nb.isNotNull && abs(na - nb) < 0.01) ||
-      coalesce(lower(trim(a)) === lower(trim(b)), lit(false))
+      coalesce(lower(wstrip(a)) === lower(wstrip(b)), lit(false))
   }
 
   /** Scalar branch of `calculate_field_score`

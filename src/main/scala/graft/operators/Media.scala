@@ -87,7 +87,8 @@ object Media {
     var i = 2
     while (i + 9 < b.length && (b(i) & 0xFF) == 0xFF) {
       val m = b(i + 1) & 0xFF
-      if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
+      if (m == 0xFF) i += 1 // T.81 B.1.1.2: optional fill bytes before a marker
+      else if (m >= 0xC0 && m <= 0xCF && m != 0xC4 && m != 0xC8 && m != 0xCC)
         return MediaMeta(id, "jpeg", be16(b, i + 7), be16(b, i + 5),
           b(i + 9) & 0xFF, 0, b.length)
       else if (m == 0xD8 || m == 0x01 || (m >= 0xD0 && m <= 0xD7)) i += 2

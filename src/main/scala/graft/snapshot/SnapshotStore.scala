@@ -110,16 +110,23 @@ class SnapshotStore(val root: String) {
   def commit(bucket: Int, dataDir: String, auditDir: String,
       docs: Long, schemaJson: String = null): Snapshot = {
     var attempts = 0
+    // buckets recovered from a quarantined-but-actually-valid occupant
+    // whose slot got re-taken before we could restore it (see the race
+    // note below) — carried into our next snapshot so the displaced
+    // writer's success return stays truthful
+    var rescued = Seq.empty[BucketEntry]
     while (true) {
       attempts += 1
       val parent = latest
       val parentBuckets = parent.map(_.buckets).getOrElse(Seq.empty)
-      require(!parentBuckets.exists(_.bucket == bucket),
+      val carried = parentBuckets ++
+        rescued.filterNot(r => parentBuckets.exists(_.bucket == r.bucket))
+      require(!carried.exists(_.bucket == bucket),
         s"bucket $bucket already committed — duplicate partition write")
       val next = Snapshot(
         parent.map(_.snapshot_id + 1).getOrElse(1L),
         parent.map(_.snapshot_id).getOrElse(0L),
-        parentBuckets :+ BucketEntry(bucket, dataDir, auditDir, docs),
+        carried :+ BucketEntry(bucket, dataDir, auditDir, docs),
         // schema evolution: this writer's schema becomes the table
         // schema; absent that, the parent's schema carries forward
         if (schemaJson != null) schemaJson
@@ -171,9 +178,34 @@ class SnapshotStore(val root: String) {
             val quarantine = snapDir.resolve(
               f".torn-${next.snapshot_id}%010d-" +
                 java.util.UUID.randomUUID().toString.take(8) + ".json")
-            try Files.move(snapPath(next.snapshot_id), quarantine,
-              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-            catch { case _: Exception => () } // someone else moved it
+            val moved =
+              try {
+                Files.move(snapPath(next.snapshot_id), quarantine,
+                  java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+                true
+              } catch { case _: Exception => false } // someone else moved it
+            // TOCTOU guard: the occupant may have FINISHED its two-step
+            // publish between our readValid and the move (its writer
+            // already returned success). If the quarantined bytes parse
+            // as a valid snapshot, put them back create-exclusively; if
+            // that slot was re-taken in the gap (needs a third racing
+            // committer), carry the displaced snapshot's buckets into
+            // our own next commit instead — no success return is ever
+            // silently voided.
+            if (moved) {
+              val occupant =
+                try Some(mapper.readValue(Files.readAllBytes(quarantine),
+                  classOf[Snapshot]))
+                catch { case _: Exception => None } // genuinely torn
+              occupant.foreach { snap =>
+                val restored =
+                  try { Files.createLink(snapPath(next.snapshot_id), quarantine); true }
+                  catch { case _: Exception => false }
+                if (!restored)
+                  rescued = (rescued ++ snap.buckets)
+                    .groupBy(_.bucket).values.map(_.head).toSeq
+              }
+            }
           }
           Files.deleteIfExists(tmp)
           if (attempts > 100) sys.error("snapshot commit livelock")

@@ -17,19 +17,26 @@ import org.apache.spark.sql.SparkSession
   */
 object TableStats {
 
-  /** Total row count of a parquet table path (file or directory of
-    * part files), read from footers only.
+  /** Total row count of a parquet table path — a single file, a flat
+    * directory of part files, or a hive-partitioned tree (`k=v/`
+    * subdirectories are recursed; `_`/`.`-prefixed metadata files are
+    * skipped, like Spark's own listing) — read from footers only.
     */
   def parquetRowCount(spark: SparkSession, path: String): Long = {
     val conf = spark.sessionState.newHadoopConf()
     val p = new Path(path)
     val fs = p.getFileSystem(conf)
-    val files =
-      if (fs.getFileStatus(p).isDirectory)
-        fs.listStatus(p).toSeq
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      else Seq(fs.getFileStatus(p))
-    files.map { f =>
+    def walk(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isDirectory)
+        fs.listStatus(st.getPath).toSeq
+          .filterNot { c =>
+            val n = c.getPath.getName
+            n.startsWith("_") || n.startsWith(".")
+          }
+          .flatMap(walk)
+      else if (st.getPath.getName.endsWith(".parquet")) Seq(st)
+      else Seq.empty
+    walk(fs.getFileStatus(p)).map { f =>
       val r = ParquetFileReader.open(HadoopInputFile.fromStatus(f, conf))
       try r.getRecordCount
       finally r.close()

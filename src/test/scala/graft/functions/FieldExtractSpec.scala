@@ -35,6 +35,9 @@ class FieldExtractSpec extends AnyFunSuite {
     assert(eval(FieldExtract.valuesMatch(str("x"), nullStr)) == false)
     // int-vs-float string forms match numerically
     assert(eval(FieldExtract.valuesMatch(str("2005"), str("2005.000"))) == true)
+    // Python strip() analog: tabs/newlines trimmed, not just spaces
+    assert(eval(FieldExtract.valuesMatch(str("\tacme\n"), str("ACME"))) == true)
+    assert(eval(FieldExtract.valuesMatch(str("\t 42 \n"), str("42.004"))) == true)
   }
 
   test("scalar score: null precedence mirrors the reference order") {

@@ -96,6 +96,15 @@ class MediaSpec extends AnyFunSuite {
       l.channels == 4, l)
   }
 
+  test("JPEG parser skips T.81 fill bytes before markers") {
+    val base = Media.jpegBytes(50, 40, 3, "b".getBytes)
+    // inject two 0xFF fill bytes between SOI and the APP0 marker
+    val padded = base.take(2) ++ Array[Byte](0xFF.toByte, 0xFF.toByte) ++
+      base.drop(2)
+    val m = Media.decode("p", padded)
+    assert(m.kind == "jpeg" && m.width == 50 && m.height == 40, m)
+  }
+
   test("builders round-trip through the parsers") {
     val body = "hello media".getBytes("UTF-8")
     val p = Media.decode("p", Media.pngBytes(640, 480, 6, body))

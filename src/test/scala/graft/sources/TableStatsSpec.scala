@@ -22,4 +22,12 @@ class TableStatsSpec extends AnyFunSuite {
       .mode("overwrite").parquet(dir)
     assert(TableStats.parquetRowCount(spark, dir) == 1234L)
   }
+
+  test("hive-partitioned trees recurse; metadata files are skipped") {
+    import org.apache.spark.sql.functions.col
+    val dir = java.nio.file.Files.createTempDirectory("graft-stats-p").toString
+    spark.range(0, 300).withColumn("k", col("id") % 3)
+      .write.partitionBy("k").mode("overwrite").parquet(dir)
+    assert(TableStats.parquetRowCount(spark, dir) == 300L)
+  }
 }
