@@ -117,9 +117,47 @@ object SparkEntry {
     "q5_window_top3" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // a window partitioned by l_returnflag funnels the whole fact
+      // table into as many tasks as there are flags (3) — a scale-killer
+      // at 100x. Per-partition bounded heaps prune map-side to
+      // <= partitions * flags * 3 rows; the window then ranks the tiny
+      // survivor set exactly (same two-phase shape as the similarity
+      // top-k): global top-3 per flag is a subset of per-partition
+      // top-3s, so the prune is lossless.
+      val pruned = t(s, dir, "lineitem")
+        .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
+          $"l_extendedprice")
+        .as[(String, Long, Int, Double)]
+        .mapPartitions { it =>
+          // records are (flag, okey, line, price); worst-first heap
+          // head: lowest price, then LARGEST keys (ascending tie-break
+          // keeps the smaller (okey, line))
+          val cmp = new java.util.Comparator[(String, Long, Int, Double)] {
+            def compare(x: (String, Long, Int, Double),
+                y: (String, Long, Int, Double)): Int = {
+              val c = java.lang.Double.compare(x._4, y._4)
+              if (c != 0) c
+              else {
+                val o = java.lang.Long.compare(y._2, x._2)
+                if (o != 0) o else Integer.compare(y._3, x._3)
+              }
+            }
+          }
+          val heaps = scala.collection.mutable.HashMap
+            .empty[String, java.util.PriorityQueue[(String, Long, Int, Double)]]
+          it.foreach { r =>
+            val h = heaps.getOrElseUpdate(r._1,
+              new java.util.PriorityQueue[(String, Long, Int, Double)](4, cmp))
+            if (h.size < 3) h.add(r)
+            else if (cmp.compare(r, h.peek()) > 0) { h.poll(); h.add(r) }
+          }
+          heaps.valuesIterator.flatMap(h =>
+            scala.jdk.CollectionConverters.IteratorHasAsScala(h.iterator()).asScala)
+        }
+        .toDF("l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice")
       val w = Window.partitionBy($"l_returnflag")
         .orderBy($"l_extendedprice".desc, $"l_orderkey", $"l_linenumber")
-      t(s, dir, "lineitem")
+      pruned
         .withColumn("rk", row_number().over(w))
         .filter($"rk" <= 3)
         .select($"l_returnflag", $"l_orderkey", $"l_linenumber",
