@@ -159,6 +159,64 @@ class DedupSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"))).isEmpty)
   }
 
+  test("PPJoin jaccardPairs is EXACT vs brute force on random corpora") {
+    // the prefix filter + positional filter + two-stage verify must be
+    // lossless at every threshold; random corpora over a small shared
+    // vocabulary produce dense mid-similarity structure that a recall
+    // bug (e.g. an off-by-one in the prefix length) would hit
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val vocab = Array.tabulate(30)(i => s"w$i")
+    for (trial <- 0 until 3; t <- Seq(0.3, 0.5, 0.8)) {
+      val docs = (0L until 40L).map { i =>
+        val len = 5 + rnd.nextInt(20)
+        (i, Seq.fill(len)(vocab(rnd.nextInt(vocab.length))).mkString(" "))
+      }
+      val n = 3
+      val got = Dedup.jaccardPairs(docs.toDF("doc_id", "text"),
+          "text", "doc_id", n, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      // brute force with the same normalization + HALF_UP rounding
+      val sets = docs.map { case (id, text) =>
+        id -> Dedup.shingleSet(
+          text.toLowerCase.trim.split("\\s+").toSeq, n).toSet
+      }.filter(_._2.nonEmpty)
+      val want = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        common = (sa & sb).size
+        j = BigDecimal(common.toDouble / (sa.size + sb.size - common))
+          .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        if j >= t
+      } yield (ia, ib) -> j).toMap
+      assert(got == want,
+        s"trial=$trial t=$t missing=${want.keySet -- got.keySet} " +
+          s"extra=${got.keySet -- want.keySet}")
+    }
+  }
+
+  test("large-star CC agrees with a third independent oracle (union-find)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(99)
+    val pairs = Seq.fill(400)(
+      (rnd.nextInt(150).toLong, rnd.nextInt(150).toLong))
+      .filter(p => p._1 != p._2)
+    // driver-side union-find with path compression
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = parent.keys.map(v => (v, find(v))).toSet
+    val got = Dedup.dupClustersLargeStar(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toSet
+    assert(got == want)
+  }
+
   test("d3 oracle precondition: gate corpora have no mid-similarity pairs") {
     // d3's driver gate hash-compares LSH output to the EXACT jaccard
     // oracle at minJ=0.2, which is sound only while every true pair in
