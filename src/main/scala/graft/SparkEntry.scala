@@ -333,6 +333,16 @@ object SparkEntry {
     "d5_dup_clusters" -> ((s, dir) =>
       Dedup.dupClustersLargeStar(dupPairs(s, dir)).orderBy("doc_id")),
 
+    // end-to-end near-dup REMOVAL (pairs → clusters → keep canonical →
+    // anti-join) — the composition a training-data pipeline runs;
+    // oracle = the d5 transitive closure + NOT IN
+    "d6_dedup_corpus" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id")
+        .select($"doc_id", $"lang", $"n_chars")
+        .orderBy($"doc_id")
+    }),
+
     // -------------------------------------------------------- similarity
     "s1_cosine_topk" -> ((s, dir) => {
       import s.implicits._
@@ -686,6 +696,34 @@ object SparkEntry {
     s"list_dot_product($a, $b) / (sqrt(list_dot_product($a, $a)) * " +
       s"sqrt(list_dot_product($b, $b)))"
 
+  /** Exact-Jaccard pair + transitive-closure CTE block shared by the
+    * d5 (clusters) and d6 (dedup anti-join) oracles; defines `reach`.
+    */
+  private def closureCtes: String =
+    s"""toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM toks WHERE len(t) >= 3),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         cnt AS (
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
+           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+           GROUP BY 1, 2),
+         sz AS (SELECT doc_id, len(s) AS n FROM sh),
+         pairs AS (
+           SELECT id_a, id_b FROM cnt
+           JOIN sz sa ON sa.doc_id = id_a
+           JOIN sz sb ON sb.doc_id = id_b
+           WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.5),
+         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                   UNION SELECT id_b, id_a FROM pairs),
+         reach(a, b) AS (
+           SELECT a, b FROM edges
+           UNION
+           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
+
   /** FNV-1a 64 over code points as a DuckDB HUGEINT fold — the exact
     * mirror of graft.operators.Dedup.fnv1a64 (d4's signature hash).
     */
@@ -929,31 +967,17 @@ object SparkEntry {
          ORDER BY query_id, rk""",
 
     "d5_dup_clusters" ->
-      s"""WITH RECURSIVE toks AS (
-           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
-         sh AS (
-           SELECT doc_id,
-             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
-           FROM toks WHERE len(t) >= 3),
-         ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
-         cnt AS (
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS common
-           FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
-           GROUP BY 1, 2),
-         sz AS (SELECT doc_id, len(s) AS n FROM sh),
-         pairs AS (
-           SELECT id_a, id_b FROM cnt
-           JOIN sz sa ON sa.doc_id = id_a
-           JOIN sz sb ON sb.doc_id = id_b
-           WHERE round(common * 1.0 / (sa.n + sb.n - common), 4) >= 0.5),
-         edges AS (SELECT id_a AS a, id_b AS b FROM pairs
-                   UNION SELECT id_b, id_a FROM pairs),
-         reach(a, b) AS (
-           SELECT a, b FROM edges
-           UNION
-           SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      s"""WITH RECURSIVE $closureCtes
          SELECT a AS doc_id, least(a, min(b)) AS cluster_id
          FROM reach GROUP BY a ORDER BY doc_id""",
+
+    "d6_dedup_corpus" ->
+      s"""WITH RECURSIVE $closureCtes,
+         cl AS (SELECT a AS doc_id, least(a, min(b)) AS cluster_id
+                FROM reach GROUP BY a)
+         SELECT doc_id, lang, n_chars FROM documents
+         WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
+         ORDER BY doc_id""",
 
     "s2_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

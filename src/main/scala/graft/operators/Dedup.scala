@@ -485,4 +485,21 @@ object Dedup {
       .union(edges.select(col("v").as("doc_id"), col("v").as("cluster_id")))
       .distinct()
   }
+
+  /** End-to-end near-dup removal — the operation a training-data
+    * pipeline actually runs over the building blocks above: exact
+    * n-gram Jaccard pairs → connected components → keep each cluster's
+    * canonical (minimum id) document, anti-join the rest away.
+    * Documents in no pair pass through untouched. For 10^9+ corpora
+    * swap jaccardPairs for minhashNearDups (same pair contract) — the
+    * clustering and anti-join stages are shared.
+    */
+  def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val pairs = jaccardPairs(docs, textCol, idCol, n, minJ)
+    val drop = dupClustersLargeStar(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id").as("__drop_id"))
+    docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
+  }
 }

@@ -159,6 +159,14 @@ class DedupSpec extends AnyFunSuite {
       Seq.empty[(Long, Long)].toDF("id_a", "id_b"))).isEmpty)
   }
 
+  test("dedupCorpus keeps cluster canonicals and untouched docs") {
+    import spark.implicits._
+    val kept = Dedup.dedupCorpus(corpus(), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3} keeps 1; cluster {4,6} keeps 4; 5 is untouched
+    assert(kept == Set(1L, 4L, 5L))
+  }
+
   test("PPJoin jaccardPairs is EXACT vs brute force on random corpora") {
     // the prefix filter + positional filter + two-stage verify must be
     // lossless at every threshold; random corpora over a small shared
