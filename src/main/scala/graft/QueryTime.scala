@@ -6,9 +6,10 @@ import org.apache.spark.sql.SparkSession
   *   runMain graft.QueryTime <sfDir> <queryName>...
   * Each query runs once warm (JIT + parquet footers) and twice timed;
   * prints the best. Mirrors Bench's noop-sink methodology so numbers
-  * are comparable to BENCH_r*.json lines — EXCEPT d5_dup_clusters,
-  * which Bench times standalone over a pre-materialized pair table
-  * (here it runs the full pipeline including d2's PPJoin).
+  * are comparable to BENCH_r*.json lines — EXCEPT d5_dup_clusters and
+  * d6_dedup_corpus, which Bench times standalone over a
+  * pre-materialized pair table (here they run the full pipeline
+  * including d2's PPJoin).
   */
 object QueryTime {
   def main(args: Array[String]): Unit = {

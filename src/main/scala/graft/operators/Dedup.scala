@@ -495,8 +495,13 @@ object Dedup {
     * clustering and anti-join stages are shared.
     */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
-      n: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val pairs = jaccardPairs(docs, textCol, idCol, n, minJ)
+      n: Int = 3, minJ: Double = 0.5,
+      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+    // callers that already materialized the pair table (a pipeline that
+    // also reports pairs/clusters) pass it in instead of re-running the
+    // PPJoin
+    val pairs = precomputedPairs.getOrElse(
+      jaccardPairs(docs, textCol, idCol, n, minJ))
     val drop = dupClustersLargeStar(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__drop_id"))
