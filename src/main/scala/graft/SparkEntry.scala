@@ -581,6 +581,68 @@ object SparkEntry {
         .select($"doc_id", size($"spans").as("n_spans"), $"spans_in",
           $"success", xxhash64($"spans").as("span_digest"))
         .orderBy($"doc_id")
+    }),
+
+    // U4/A5/A6/F2/F4/O1: the REAL zone-merge operator chain (confidence
+    // filter → greedy adjacent-text agglomeration → bbox union +
+    // area-weighted confidence → reading order, Zones.scala) over
+    // synthetic layouts constructed from doc_id arithmetic; the oracle
+    // predicts every merged zone analytically from the construction
+    // moduli — it never merges anything — so a drift in ANY stage
+    // (filter threshold, adjacency gap, weighting, sort key) breaks the
+    // hash. See QueryFixtures.zones for the layout contract.
+    "z1_zone_merge" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .flatMap(d => graft.data.QueryFixtures.zoneRows(d))
+        .toDF("doc_id", "zone_order", "x1", "y1", "x2", "y2",
+          "zone_type", "conf_raw")
+        .select($"doc_id", $"zone_order", $"x1", $"y1", $"x2", $"y2",
+          $"zone_type", round($"conf_raw", 4).as("confidence"))
+        .orderBy($"doc_id", $"zone_order")
+    }),
+
+    // X9/F9 as a driver-oracled query: the native ocr_normalize SQL
+    // function (registered Catalyst expression, OcrNormalize.scala) over
+    // noisy text assembled from the QueryFixtures word-pair table plus
+    // number tokens, a non-ASCII symbol, and whitespace mess; the oracle
+    // assembles the CLEAN text directly from the paired literals — the
+    // repair table, number guard, case-majority rule, and paragraph
+    // canonicalization all have to hold for the hashes to meet.
+    "t6_ocr_normalize" -> ((s, dir) => {
+      import s.implicits._
+      graft.functions.OcrNormalize.register(s)
+      val qf = graft.data.QueryFixtures
+      val noisy = array(qf.NoisyWords.map(lit): _*)
+      val d = $"doc_id"
+      val w1 = element_at(noisy, (d % 8 + 1).cast("int"))
+      val w2 = element_at(noisy, ((d * 3 + 1) % 8 + 1).cast("int"))
+      val w3 = element_at(noisy, ((d * 5 + 2) % 8 + 1).cast("int"))
+      val w4 = element_at(noisy, ((d * 7 + 5) % 8 + 1).cast("int"))
+      val num1 = concat((d % 900 + 100).cast("string"), lit("."),
+        (d % 10).cast("string"))
+      val raw = concat(
+        lit("  "), w1, lit("   "), num1, lit(" \t"), w2,
+        lit("\n   \n\n"), w3, lit("  → "), w4, lit("\r\n1,234.56"))
+      t(s, dir, "documents")
+        .select(d, raw.as("raw"))
+        .selectExpr("doc_id", "ocr_normalize(raw) AS norm")
+        .orderBy($"doc_id")
+    }),
+
+    // S1/F1/S8/S9/X12/O6/F3: constructed spans routed through the REAL
+    // dispatch (image → normalize + media_ref passthrough, unknown kind
+    // → whitelist reject to ""), reassembled with the pipeline survivor
+    // rule, rendered by all three sinks (markdown / html / plain) and
+    // truncated with the context budget — the oracle rebuilds all four
+    // strings from the construction arithmetic (escaping, section
+    // attributes, image links, truncation branches included).
+    "r1_render_sinks" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map(d => graft.data.QueryFixtures.renderRow(d))
+        .toDF("doc_id", "markdown", "html", "plain", "excerpt")
+        .orderBy($"doc_id")
     }))
 
   /** The exact near-dup pair table shared by d2 (which outputs it) and
@@ -1069,5 +1131,100 @@ object SparkEntry {
            ${fieldSql.map { case (n, _) =>
              s"round(avg(CASE WHEN ${validSql(n)} THEN 1.0 ELSE 0.0 END) * 100, 2) AS hit_$n"
            }.mkString(",\n           ")}
-         FROM f""")
+         FROM f""",
+
+    // Analytic mirror of QueryFixtures.zones + Zones.mergeAdjacentText-
+    // Zones: chain c of doc d has length ((d+c)%3)+1 with widths
+    // 80/90/100 and 10px gaps, so the merged bbox and the area-weighted
+    // confidence (areas 4000/4500/5000) are closed-form; the low-
+    // confidence zone never appears (F2) and even docs append one
+    // figure zone that sorts last (reading order).
+    "z1_zone_merge" ->
+      """WITH docs AS (SELECT doc_id AS d, (doc_id % 3) + 1 AS k FROM documents),
+         cl AS (SELECT d, unnest(range(k)) AS c FROM docs),
+         merged AS (
+           SELECT d AS doc_id, c::INT AS zone_order,
+             (1000 * c)::INT AS x1, 0 AS y1,
+             (1000 * c + CASE ((d + c) % 3) + 1
+                WHEN 1 THEN 80 WHEN 2 THEN 180 ELSE 290 END)::INT AS x2,
+             50 AS y2, 'text' AS zone_type,
+             round(CASE ((d + c) % 3) + 1
+               WHEN 1 THEN (((d + 7*c) % 50) + 50) / 100.0
+               WHEN 2 THEN ((((d + 7*c) % 50) + 50) * 4000.0
+                          + (((d + 7*c + 3) % 50) + 50) * 4500.0) / 850000.0
+               ELSE ((((d + 7*c) % 50) + 50) * 4000.0
+                   + (((d + 7*c + 3) % 50) + 50) * 4500.0
+                   + (((d + 7*c + 6) % 50) + 50) * 5000.0) / 1350000.0
+             END, 4) AS confidence
+           FROM cl),
+         figs AS (
+           SELECT d AS doc_id, k::INT AS zone_order, 5000 AS x1, 0 AS y1,
+             5060 AS x2, 50 AS y2, 'figure' AS zone_type, 0.9 AS confidence
+           FROM docs WHERE d % 2 = 0)
+         SELECT * FROM merged
+         UNION ALL SELECT * FROM figs
+         ORDER BY doc_id, zone_order""",
+
+    // Clean-side reconstruction of the t6 noisy text: same index
+    // arithmetic over the CLEAN word list (QueryFixtures.CleanWords —
+    // keep in sync), numbers pass through untouched, whitespace mess
+    // collapses to single spaces / one paragraph break.
+    "t6_ocr_normalize" ->
+      """WITH w AS (SELECT ['Total','CERTIFICATE','Carbon:','ENVIRONMENTAL',
+                           'Model','CO2','Durable','renewable'] AS c)
+         SELECT doc_id,
+           c[(doc_id % 8)::INT + 1] || ' '
+             || (doc_id % 900 + 100) || '.' || (doc_id % 10) || ' '
+             || c[((doc_id*3 + 1) % 8)::INT + 1]
+             || chr(10) || chr(10)
+             || c[((doc_id*5 + 2) % 8)::INT + 1] || ' → '
+             || c[((doc_id*7 + 5) % 8)::INT + 1]
+             || chr(10) || '1,234.56' AS norm
+         FROM documents, w ORDER BY doc_id""",
+
+    // All four r1 sink strings rebuilt from the d%4 construction: the
+    // unknown-kind span never renders (F1), the d%4==3 image span
+    // normalizes to "" and is dropped (F3), html escapes &<> and splits
+    // paragraphs, the excerpt exercises all three truncation branches.
+    "r1_render_sinks" ->
+      """WITH p AS (
+           SELECT doc_id, (doc_id % 4) AS m,
+             CASE (doc_id % 4)
+               WHEN 0 THEN 'Value one' || chr(10) || chr(10) || 'line2'
+               WHEN 1 THEN 'Valuation statement extra'
+               WHEN 2 THEN 'Valuation statement'
+               ELSE 'Short' END AS a,
+             CASE WHEN doc_id % 4 = 3 THEN NULL
+               ELSE 'Green & cert <ok>' END AS c
+           FROM documents),
+         q AS (
+           SELECT doc_id, m, a, c,
+             CASE WHEN c IS NULL THEN a
+               ELSE a || chr(10) || chr(10) || c END AS plain,
+             CASE WHEN m = 0 THEN '<p>Value one</p>' || chr(10) || '<p>line2</p>'
+               ELSE '<p>' || a || '</p>' END AS pa
+           FROM p)
+         SELECT doc_id,
+           '# ' || doc_id || chr(10) || chr(10)
+             || '![image](img://' || doc_id || ')' || chr(10) || chr(10) || a
+             || CASE WHEN c IS NULL THEN ''
+                  ELSE chr(10) || chr(10) || c END AS markdown,
+           '<!DOCTYPE html>' || chr(10)
+             || '<html><head><meta charset="utf-8"/><title>' || doc_id
+             || '</title></head>' || chr(10) || '<body>' || chr(10)
+             || '<article id="' || doc_id || '">' || chr(10)
+             || '<section class="span image" data-order="0">'
+             || '<div class="media-ref">img://' || doc_id || '</div>'
+             || pa || '</section>'
+             || CASE WHEN c IS NULL THEN ''
+                  ELSE chr(10) || '<section class="span image" data-order="1">'
+                    || '<p>Green &amp; cert &lt;ok&gt;</p></section>' END
+             || chr(10) || '</article>' || chr(10) || '</body></html>' AS html,
+           plain,
+           CASE m
+             WHEN 0 THEN 'Value one' || chr(10) || chr(10) || 'line2' || chr(10)
+             WHEN 1 THEN 'Valuation statement '
+             WHEN 2 THEN 'Valuation statement'
+             ELSE 'Short' END AS excerpt
+         FROM q ORDER BY doc_id""")
 }

@@ -1,0 +1,122 @@
+package graft.data
+
+import graft.extract.{Extractor, Zones}
+import graft.functions.TextFunctions
+import graft.model.{ExtractedDoc, OutFormat, OutSpan, SpanRow}
+import graft.Renderer
+
+/** Deterministic fixtures behind the driver-oracled queries z1 / t6 / r1.
+  *
+  * Pattern (same as x5/m1/p2): every input is CONSTRUCTED from integer
+  * arithmetic over `doc_id`, the query runs the REAL operator over it,
+  * and the DuckDB oracle predicts the result analytically from the same
+  * arithmetic — it never runs the operator. A drift in any operator
+  * branch breaks the value hash.
+  *
+  * All kernels live here as object-level methods: lambdas in
+  * SparkEntry's query closures may only call object methods (local defs
+  * capture the enclosing instance and break Task serialization).
+  */
+object QueryFixtures {
+
+  // ------------------------------------------------------------- z1 zones
+
+  /** Synthetic zone layout for doc `d` (reference layout semantics,
+    * core/models/layout_engine.py:208-278):
+    *   - `(d % 3) + 1` well-separated horizontal chains of text zones,
+    *     chain c of length `((d + c) % 3) + 1`, widths 80/90/100 and
+    *     10px gaps (<= AdjacencyGap, so each chain merges to one zone);
+    *   - one low-confidence text zone vertically adjacent to chain 0 —
+    *     the confidence filter (F2) must drop it BEFORE merging or the
+    *     chain-0 bbox grows to y2=105 and the hash breaks;
+    *   - on even docs one "figure" zone at x=5000 that must pass through
+    *     unmerged and sort last in reading order.
+    * Confidences are exact hundredths in [0.50, 0.99] so the merged
+    * area-weighted confidence is a small rational, never within 1e-5 of
+    * a 4-decimal rounding boundary (validated over d < 100000).
+    */
+  def zones(d: Long): Seq[Zones.Zone] = {
+    val zs = scala.collection.mutable.ArrayBuffer.empty[Zones.Zone]
+    val clusters = (d % 3).toInt + 1
+    var c = 0
+    while (c < clusters) {
+      val len = ((d + c) % 3).toInt + 1
+      var x = c * 1000
+      var j = 0
+      while (j < len) {
+        val w = 80 + 10 * j
+        val conf = (((d + 7L * c + 3L * j) % 50) + 50) / 100.0
+        zs += Zones.Zone(x, 0, x + w, 50, "text", conf)
+        x += w + 10
+        j += 1
+      }
+      c += 1
+    }
+    zs += Zones.Zone(0, 55, 80, 105, "text", ((d % 5) * 10 + 5) / 100.0)
+    if (d % 2 == 0) zs += Zones.Zone(5000, 0, 5060, 50, "figure", 0.9)
+    zs.toSeq
+  }
+
+  /** z1 row kernel: confidence filter -> merge-adjacent -> reading order,
+    * emitted as one row per surviving zone with its final order index.
+    */
+  def zoneRows(d: Long): Iterator[(Long, Int, Int, Int, Int, Int, String, Double)] = {
+    val merged = Zones.mergeAdjacentTextZones(Zones.filterConfident(zones(d)))
+    merged.iterator.zipWithIndex.map { case (z, i) =>
+      (d, i, z.x1, z.y1, z.x2, z.y2, z.zone_type, z.confidence)
+    }
+  }
+
+  // --------------------------------------------------- t6 ocr word pairs
+
+  /** Noisy/clean word pairs for the t6 ocr_normalize oracle. The clean
+    * side is what `Normalizer.normalize` PRODUCES for the noisy side
+    * (asserted pairwise by OcrNormalizeSpec); the same two lists appear
+    * as DuckDB literals in the t6 oracle SQL — keep them in sync.
+    */
+  val NoisyWords: Seq[String] = Seq(
+    "Tot4l", "C3RTIFICAT3", "C4rb0n:", "ENVIR0NMENTAL",
+    "M0del", "C02", "Dur4ble", "r3new4ble")
+  val CleanWords: Seq[String] = Seq(
+    "Total", "CERTIFICATE", "Carbon:", "ENVIRONMENTAL",
+    "Model", "CO2", "Durable", "renewable")
+
+  // ------------------------------------------------------------ r1 render
+
+  /** r1 kernel: three constructed spans routed through the REAL
+    * dispatch (`Extractor.extractSpan` — image spans normalize + keep
+    * media_ref, unknown kinds are rejected to ""), reassembled with the
+    * pipeline's survivor rule (non-empty text, 0-based order), then
+    * rendered by all three sinks plus the context truncation:
+    *   - d%4==0: first span has a paragraph break (html <p> split +
+    *     excerpt cuts at a late newline);
+    *   - d%4==1: long first line (excerpt hard-cuts mid-line);
+    *   - d%4==2: line exactly at the newline threshold;
+    *   - d%4==3: second image span normalizes to "" and is DROPPED, and
+    *     the short survivor skips truncation entirely.
+    * Returns (doc_id, markdown, html, plain, excerpt).
+    */
+  def renderRow(d: Long): (Long, String, String, String, String) = {
+    val aText = (d % 4) match {
+      case 0 => "V4lue one\n\nline2"
+      case 1 => "V4luation st4tement extr4"
+      case 2 => "V4luation st4tement"
+      case _ => "Sh0rt"
+    }
+    val cText = if (d % 4 == 3) "   " else "Gr33n & c3rt <ok>"
+    val spans = Seq(
+      SpanRow(d.toString, "image", aText, "img://" + d, 0),
+      SpanRow(d.toString, "bin", "junk", null, 1),
+      SpanRow(d.toString, "image", cText, null, 2))
+    val survivors = spans.sortBy(_.offset)
+      .map(sr => Extractor.extractSpan(sr, OutFormat.Plain))
+      .filter(es => es.text != null && es.text.nonEmpty)
+    val doc = ExtractedDoc(d.toString,
+      survivors.zipWithIndex.map { case (es, i) =>
+        OutSpan(es.kind, es.text, es.media_ref, i)
+      }, spans.length, success = true, error = null)
+    val plain = Renderer.toPlainText(doc)
+    (d, Renderer.toMarkdown(doc), Renderer.toHtml(doc), plain,
+      TextFunctions.smartTruncate(plain, 20))
+  }
+}

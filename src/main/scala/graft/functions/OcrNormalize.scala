@@ -23,9 +23,13 @@ case class OcrNormalize(child: Expression) extends UnaryExpression {
   override protected def nullSafeEval(input: Any): Any =
     OcrNormalize.eval(input.asInstanceOf[UTF8String])
 
+  // NB: must reference the module explicitly — `OcrNormalize.eval(...)`
+  // in generated Java resolves against the case CLASS, whose companion
+  // gets no static `eval` forwarder (it clashes with Expression.eval),
+  // so Janino fails and Spark silently falls back to interpreted eval.
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c =>
-      s"graft.functions.OcrNormalize.eval($c)")
+      s"graft.functions.OcrNormalize$$.MODULE$$.eval($c)")
 
   override protected def withNewChildInternal(newChild: Expression): OcrNormalize =
     copy(child = newChild)

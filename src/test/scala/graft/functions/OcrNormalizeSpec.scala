@@ -28,6 +28,24 @@ class OcrNormalizeSpec extends AnyFunSuite {
     assert(!plan.contains("ScalaUDF"), plan) // native expression, not a UDF
   }
 
+  test("codegen actually compiles — no silent interpreter fallback") {
+    // GenerateUnsafeProjection.generate THROWS on codegen compile errors
+    // (no CodeGeneratorWithInterpretedFallback at this layer), so a
+    // broken doGenCode — e.g. referencing the companion without
+    // $.MODULE$, which Janino resolves against the case class and fails
+    // — is caught here instead of degrading every query to interpreted
+    // eval behind a WARN.
+    import org.apache.spark.sql.catalyst.expressions.codegen.GenerateUnsafeProjection
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow}
+    import org.apache.spark.sql.types.StringType
+    import org.apache.spark.unsafe.types.UTF8String
+    val proj = GenerateUnsafeProjection.generate(
+      Seq(OcrNormalize(BoundReference(0, StringType, nullable = true))))
+    val row = new GenericInternalRow(
+      Array[Any](UTF8String.fromString("C4rb0n:  247.8")))
+    assert(proj(row).getUTF8String(0).toString == "Carbon: 247.8")
+  }
+
   test("extensions class registers via withExtensions") {
     // a second session sharing the context, with extensions applied
     val s2 = org.apache.spark.sql.SparkSession.builder()
