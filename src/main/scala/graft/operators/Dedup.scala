@@ -496,13 +496,18 @@ object Dedup {
     */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJ: Double = 0.5,
-      precomputedPairs: Option[DataFrame] = None): DataFrame = {
+      precomputedPairs: Option[DataFrame] = None,
+      precomputedClusters: Option[DataFrame] = None): DataFrame = {
     // callers that already materialized the pair table (a pipeline that
-    // also reports pairs/clusters) pass it in instead of re-running the
-    // PPJoin
-    val pairs = precomputedPairs.getOrElse(
-      jaccardPairs(docs, textCol, idCol, n, minJ))
-    val drop = dupClustersLargeStar(pairs)
+    // also reports pairs) or the cluster table (one that also reports
+    // clusters) pass them in instead of re-running the PPJoin /
+    // large-star stages
+    val clusters = precomputedClusters.getOrElse {
+      val pairs = precomputedPairs.getOrElse(
+        jaccardPairs(docs, textCol, idCol, n, minJ))
+      dupClustersLargeStar(pairs)
+    }
+    val drop = clusters
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id").as("__drop_id"))
     docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
