@@ -630,6 +630,36 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // U2(html)/F8/U1: the REAL boilerplate stripper (tokenizer, entity
+    // decode, block segmentation, structural prior, link/text density
+    // classification, markdown heading decoration) over constructed
+    // pages with constant density arithmetic; the oracle joins the
+    // expected survivor blocks from the same word indices — nav, link
+    // farm, sparse chrome, style, and comment must all vanish and the
+    // inline anchor must survive for the hash to meet.
+    "h1_html_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map(d => graft.data.QueryFixtures.htmlRow(d))
+        .toDF("doc_id", "plain", "md")
+        .orderBy($"doc_id")
+    }),
+
+    // U2/O1/X5: the REAL recursive XY-cut layout engine
+    // (PdfExtractor.extract — positional grammar parse with %-escapes
+    // and malformed-entry skips, gap segmentation, reference reading
+    // order) over constructed fixed-geometry layouts; the oracle
+    // concatenates the expected reading-ordered text directly from the
+    // word indices (QueryFixtures.pdfLayoutRow documents the geometry
+    // and the closed-form cut sequence).
+    "p4_pdf_layout" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .map(d => graft.data.QueryFixtures.pdfLayoutRow(d))
+        .toDF("doc_id", "text")
+        .orderBy($"doc_id")
+    }),
+
     // S1/F1/S8/S9/X12/O6/F3: constructed spans routed through the REAL
     // dispatch (image → normalize + media_ref passthrough, unknown kind
     // → whitelist reject to ""), reassembled with the pipeline survivor
@@ -1180,6 +1210,58 @@ object SparkEntry {
              || c[((doc_id*5 + 2) % 8)::INT + 1] || ' → '
              || c[((doc_id*7 + 5) % 8)::INT + 1]
              || chr(10) || '1,234.56' AS norm
+         FROM documents, w ORDER BY doc_id""",
+
+    // Expected h1 survivors: title, h1, the entity paragraph, and the
+    // inline-link paragraph — in document order, markdown headings
+    // "# "-prefixed.
+    "h1_html_boilerplate" ->
+      """WITH w AS (SELECT ['alpha','brick','cloud','delta','eagle',
+                           'frost','grape','house'] AS ws),
+         b AS (
+           SELECT doc_id,
+             ws[(doc_id % 8)::INT + 1] AS t0,
+             ws[((doc_id*3 + 1) % 8)::INT + 1] AS h,
+             ws[((doc_id*5) % 8)::INT + 1] || ' '
+               || ws[((doc_id*5 + 1) % 8)::INT + 1] || ' '
+               || ws[((doc_id*5 + 2) % 8)::INT + 1] || ' & '
+               || ws[((doc_id*5 + 3) % 8)::INT + 1] || ' '
+               || ws[((doc_id*5 + 4) % 8)::INT + 1] || ' '
+               || ws[((doc_id*5 + 5) % 8)::INT + 1] AS para,
+             ws[((doc_id*7) % 8)::INT + 1] || ' '
+               || ws[((doc_id*7 + 1) % 8)::INT + 1] || ' '
+               || ws[((doc_id*7 + 2) % 8)::INT + 1] || ' '
+               || ws[((doc_id*7 + 3) % 8)::INT + 1] AS link_para
+           FROM documents, w)
+         SELECT doc_id,
+           t0 || chr(10) || chr(10) || h || chr(10) || chr(10)
+             || para || chr(10) || chr(10) || link_para AS plain,
+           '# ' || t0 || chr(10) || chr(10) || '# ' || h || chr(10) || chr(10)
+             || para || chr(10) || chr(10) || link_para AS md
+         FROM b ORDER BY doc_id""",
+
+    // Expected p4 reading order, straight from the construction: on
+    // even docs the XY-cut emits header / left column / right column /
+    // footer; on odd docs there is no right column. The escaped footer
+    // token renders as "f end".
+    "p4_pdf_layout" ->
+      """WITH w AS (SELECT ['alpha','brick','cloud','delta','eagle',
+                           'frost','grape','house'] AS ws)
+         SELECT doc_id,
+           ws[(doc_id % 8)::INT + 1]
+           || CASE WHEN doc_id % 2 = 0
+                THEN ' ' || ws[((doc_id*3 + 1) % 8)::INT + 1] ELSE '' END
+           || chr(10) || chr(10)
+           || ws[((doc_id*5 + 2) % 8)::INT + 1] || chr(10)
+           || ws[((doc_id*5 + 3) % 8)::INT + 1] || chr(10)
+           || ws[((doc_id*5 + 4) % 8)::INT + 1]
+           || CASE WHEN doc_id % 2 = 0
+                THEN chr(10) || chr(10)
+                  || ws[((doc_id*7 + 5) % 8)::INT + 1] || chr(10)
+                  || ws[((doc_id*7 + 6) % 8)::INT + 1] || chr(10)
+                  || ws[((doc_id*7 + 7) % 8)::INT + 1]
+                ELSE '' END
+           || chr(10) || chr(10) || 'f end' AS text
          FROM documents, w ORDER BY doc_id""",
 
     // All four r1 sink strings rebuilt from the d%4 construction: the

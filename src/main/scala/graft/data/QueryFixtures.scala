@@ -81,6 +81,82 @@ object QueryFixtures {
     "Total", "CERTIFICATE", "Carbon:", "ENVIRONMENTAL",
     "Model", "CO2", "Durable", "renewable")
 
+  // -------------------------------------------------------- p4 pdf layout
+
+  /** All length 5, so every token box is 50 wide (w = 10·len default)
+    * and the XY-cut geometry below is constant — only the letters vary
+    * with doc_id. Mirrored as a DuckDB literal in the p4 oracle.
+    */
+  val PdfWords: Seq[String] = Seq(
+    "alpha", "brick", "cloud", "delta", "eagle", "frost", "grape", "house")
+
+  /** p4 kernel: a positioned-token span whose recursive XY-cut reading
+    * order is closed-form, run through the REAL PdfExtractor.extract.
+    * Geometry (all boxes 50x40):
+    *   - header at y=0 (two tokens x=0/x=90 on even docs, one on odd);
+    *   - body at y=100..240: a left column at x=0, plus on even docs a
+    *     right column at x=240 (x-valley 100 >= MinGapX, and wider than
+    *     the 60px header/body y-valley, so the top region cuts
+    *     VERTICALLY first — left block, then right);
+    *   - a footer at y=600 (y-valley 360, always the first cut);
+    *   - entries arrive SCRAMBLED (footer first) so order must come
+    *     from positions, not input order; one %-escaped token, one
+    *     3-number entry (w explicit), one 4-number entry, and two
+    *     malformed entries that must be skipped.
+    * Expected: header line / left column / [right column] / "f end",
+    * blocks joined "\n\n", lines "\n", same-bucket tokens " ".
+    */
+  def pdfLayoutRow(d: Long): (Long, String) = {
+    val a = PdfWords((d % 8).toInt)
+    val b = PdfWords(((d * 3 + 1) % 8).toInt)
+    val c = (2 to 4).map(j => PdfWords(((d * 5 + j) % 8).toInt))
+    val r = (5 to 7).map(j => PdfWords(((d * 7 + j) % 8).toInt))
+    val entries =
+      if (d % 2 == 0) Seq(
+        s"${c(1)}@0,150,50", "f%20end@0,600", s"$a@0,0", s"${r(1)}@240,150",
+        s"$b@90,0", s"${c(0)}@0,100", s"${r(0)}@240,100,50,40",
+        s"${c(2)}@0,200", s"${r(2)}@240,200", "junk", "x@y,z")
+      else Seq(
+        s"${c(1)}@0,150,50", "f%20end@0,600", s"$a@0,0",
+        s"${c(0)}@0,100", s"${c(2)}@0,200", "junk", "x@y,z")
+    (d, graft.extract.PdfExtractor.extract(entries.mkString(";")))
+  }
+
+  // -------------------------------------------------- h1 html boilerplate
+
+  /** h1 kernel: a constructed page through the REAL HtmlExtractor in
+    * both plain and markdown mode. Because every word is length 5, the
+    * density arithmetic is constant and only the letters vary:
+    *   - title + h1 survive as headings ("# "-prefixed in markdown);
+    *   - the 7-word paragraph (37 chars, one &amp; entity) has text
+    *     density 7 >= 1 → kept;
+    *   - the inline-link paragraph has link density 5/23 <= 1/3 → kept
+    *     WITH the anchor text;
+    *   - the nav block (structural prior), the all-anchor paragraph
+    *     (link density 1), the 100-char single-word div (text density
+    *     0.5), the style element, and the comment are all dropped.
+    * Oracle = the expected survivor join, from the same word indices.
+    */
+  def htmlRow(d: Long): (Long, String, String) = {
+    val w = PdfWords
+    def W(i: Long) = w((i % 8).toInt)
+    val t0 = W(d); val h = W(d * 3 + 1)
+    val c = (0 to 5).map(j => W(d * 5 + j))
+    val il = (0 to 3).map(j => W(d * 7 + j))
+    val html =
+      s"""<html><head><title>$t0</title><style>p{color:red}</style></head><body>
+         |<nav><p>${W(d + 2)} <a href="/">${W(d + 3)}</a></p></nav>
+         |<!-- chrome comment -->
+         |<h1>$h</h1>
+         |<p>${c(0)} ${c(1)} ${c(2)} &amp; ${c(3)} ${c(4)} ${c(5)}</p>
+         |<p><a href="#">${W(d + 4)} ${W(d + 5)}</a></p>
+         |<p>${il(0)} ${il(1)} <a href="#x">${il(2)}</a> ${il(3)}</p>
+         |<div>${"x" * 100}</div>
+         |</body></html>""".stripMargin
+    (d, graft.extract.HtmlExtractor.extract(html, markdown = false),
+      graft.extract.HtmlExtractor.extract(html, markdown = true))
+  }
+
   // ------------------------------------------------------------ r1 render
 
   /** r1 kernel: three constructed spans routed through the REAL

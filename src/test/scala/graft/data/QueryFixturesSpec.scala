@@ -41,6 +41,31 @@ class QueryFixturesSpec extends AnyFunSuite {
     assert(math.abs(rows(1)._8 - want) < 1e-12)
   }
 
+  test("p4: XY-cut emits header / columns / footer regardless of input order") {
+    val (_, even) = QueryFixtures.pdfLayoutRow(0)
+    // d=0: a=alpha b=brick c=cloud,delta,eagle r=frost,grape,house
+    assert(even ==
+      "alpha brick\n\ncloud\ndelta\neagle\n\nfrost\ngrape\nhouse\n\nf end")
+    val (_, odd) = QueryFixtures.pdfLayoutRow(1)
+    // d=1: a=brick c=house,alpha,brick (indices 7,0,1)
+    assert(odd == "brick\n\nhouse\nalpha\nbrick\n\nf end")
+    // malformed entries are skipped, escapes decoded: both already
+    // asserted by the strings above ("junk"/"x@y,z" absent, "f end")
+  }
+
+  test("h1: boilerplate vanishes, inline link survives, markdown decorates") {
+    val (_, plain, md) = QueryFixtures.htmlRow(0)
+    // d=0: t0=alpha h=brick c=alpha..frost(j:0-5) il=alpha,house? no:
+    // il_j = W(0*7+j) = w[j] → alpha brick cloud delta
+    assert(plain ==
+      "alpha\n\nbrick\n\nalpha brick cloud & delta eagle frost\n\nalpha brick cloud delta")
+    assert(md ==
+      "# alpha\n\n# brick\n\nalpha brick cloud & delta eagle frost\n\nalpha brick cloud delta")
+    // nav word W(2)=cloud appears only via content indices; assert the
+    // dropped-block MARKERS never leak instead
+    assert(!plain.contains("x" * 10) && !plain.contains("chrome comment"))
+  }
+
   test("r1 branches: dispatch reject, survivor drop, all truncation modes") {
     val r0 = QueryFixtures.renderRow(0)
     assert(r0._4 == "Value one\n\nline2\n\nGreen & cert <ok>")
