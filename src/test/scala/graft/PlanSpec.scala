@@ -60,6 +60,20 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
   }
 
+  test("t6: the native ocr_normalize expression stays in whole-stage codegen") {
+    // plan-shape guard: the custom expression must sit inside a codegen
+    // stage as a native expression, never as a ScalaUDF. (A doGenCode
+    // COMPILE regression would not change this plan string — Spark
+    // falls back at runtime — so the hard guard for that is
+    // OcrNormalizeSpec's GenerateUnsafeProjection test.)
+    val df = SparkEntry.queries("t6_ocr_normalize")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("ocr_normalize"), p)
+    assert(p.contains("WholeStageCodegen") || p.contains("*("), p)
+    assert(!p.contains("ScalaUDF"), p)
+  }
+
   test("s2: probe table broadcasts; corpus-side exchanges stay bounded") {
     val df = SparkEntry.queries("s2_ann_lsh")(spark, dir)
     df.collect() // finalize adaptive plan
