@@ -394,11 +394,19 @@ object SparkEntry {
       // go quadratic (at the n=500 gate corpora no bucket can exceed
       // 500, so the output — and the saturated-recall argument above —
       // is unchanged)
+      // minCos = 0.5 keeps the threshold OUT of the random-background
+      // cosine bulk (64-dim background pairs have std ~ 1/8, so 0.2 is
+      // only ~1.6 sigma and borderline pairs are dense there — at
+      // sf0.1's planes=4 the per-pair miss at c=0.2 is 6e-3 and exact
+      // recall CANNOT saturate; at c=0.5 it is (1-p^4)^48 = 2.5e-5
+      // with p = 1 - acos(c)/pi = 2/3, so E[missed pairs] stays < 1e-3
+      // at every test scale — asserted by SimilaritySpec's s3
+      // precondition over the real corpora, the d3 pattern)
       val n = graft.sources.TableStats.parquetRowCount(s,
         s"$dir/embeddings.parquet")
       val planes = Similarity.sizePlanes(n, targetBucket = 125)
       Similarity.cosineNearDups(emb, "embedding", "vec_id",
-          minCos = 0.2, planes = planes, tables = 48, maxBucket = 500)
+          minCos = 0.5, planes = planes, tables = 48, maxBucket = 500)
         .orderBy("id_a", "id_b")
     }),
 
@@ -1113,7 +1121,7 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS score
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE ${cosSql("a.v", "b.v")} >= 0.2
+         WHERE ${cosSql("a.v", "b.v")} >= 0.5
          ORDER BY id_a, id_b""",
 
     "e1_embedding_norms" ->

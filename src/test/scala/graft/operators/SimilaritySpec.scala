@@ -60,6 +60,50 @@ class SimilaritySpec extends AnyFunSuite {
     assert(lsh.nonEmpty)
   }
 
+  test("s3 oracle precondition: expected missed pairs bounded at every scale") {
+    // s3's driver gate hash-compares LSH output to the EXACT cosine
+    // oracle at minCos=0.5. In 64 dims the random-background cosine std
+    // is ~1/8, so a threshold of 0.2 sits inside the background bulk
+    // where borderline pairs are dense and recall cannot saturate (at
+    // sf0.1's planes=4 the per-pair miss at c=0.2 is ~6e-3 — hundreds
+    // of real misses). At 0.5 the background has thinned enough that
+    // E[miss] = Σ_pairs (1 - p(c)^planes)^tables with p(c)=1-acos(c)/π
+    // stays < 1e-3 on every test corpus — asserted here over the REAL
+    // testdata (the d3 precondition pattern) so a corpus change that
+    // re-densifies the boundary fails HERE with a clear message.
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
+      val rows = spark.read
+        .parquet(s"/root/testdata/$sf/embeddings.parquet")
+        .selectExpr("cast(embedding as array<double>)")
+        .collect().map(_.getSeq[Double](0).toArray)
+      val n = rows.length
+      val planes = Similarity.sizePlanes(n, targetBucket = 125)
+      val norms = rows.map(v => math.sqrt(v.map(x => x * x).sum))
+      var expectedMisses = 0.0
+      var pairs = 0
+      var minC = 1.0
+      for (i <- rows.indices; j <- (i + 1) until n) {
+        var dot = 0.0
+        var k = 0
+        while (k < rows(i).length) { dot += rows(i)(k) * rows(j)(k); k += 1 }
+        val c = dot / (norms(i) * norms(j))
+        if (c >= 0.5) {
+          pairs += 1
+          if (c < minC) minC = c
+          val p = 1.0 - math.acos(math.min(1.0, c)) / math.Pi
+          expectedMisses += math.pow(1.0 - math.pow(p, planes), 48)
+        }
+      }
+      info(f"$sf%s: n=$n%d planes=$planes%d pairs=$pairs%d " +
+        f"minCos=$minC%.4f E[missed]=$expectedMisses%.2e")
+      assert(expectedMisses < 1e-3,
+        f"$sf%s: E[missed pairs]=$expectedMisses%.2e — a pair sits in " +
+          "the LSH recall gap; s3's hash-equality oracle no longer " +
+          "holds for this testdata, raise minCos/tables or switch the " +
+          "gate to a recall-tolerance compare")
+    }
+  }
+
   test("cosine near-dups finds identical pairs at score 1") {
     val pairs = Similarity.cosineNearDups(vecs(), "embedding", "vec_id",
         minCos = 0.999, planes = 4)
