@@ -404,9 +404,10 @@ object SparkEntry {
       // precondition over the real corpora, the d3 pattern)
       val n = graft.sources.TableStats.parquetRowCount(s,
         s"$dir/embeddings.parquet")
-      val planes = Similarity.sizePlanes(n, targetBucket = 125)
+      val planes = Similarity.sizePlanes(n, targetBucket = S3TargetBucket)
       Similarity.cosineNearDups(emb, "embedding", "vec_id",
-          minCos = 0.5, planes = planes, tables = 48, maxBucket = 500)
+          minCos = S3MinCos, planes = planes, tables = S3Tables,
+          maxBucket = S3MaxBucket)
         .orderBy("id_a", "id_b")
     }),
 
@@ -682,6 +683,15 @@ object SparkEntry {
         .toDF("doc_id", "markdown", "html", "plain", "excerpt")
         .orderBy($"doc_id")
     }))
+
+  /** s3's LSH configuration, shared with SimilaritySpec's precondition
+    * guard so the expected-miss model asserted there can never
+    * desynchronize from what the query actually runs.
+    */
+  private[graft] val S3MinCos = 0.5
+  private[graft] val S3Tables = 48
+  private[graft] val S3TargetBucket = 125
+  private[graft] val S3MaxBucket = 500
 
   /** The exact near-dup pair table shared by d2 (which outputs it) and
     * d5 (which clusters it) — one definition so the two queries and the
@@ -1121,7 +1131,7 @@ object SparkEntry {
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
          SELECT a.vec_id AS id_a, b.vec_id AS id_b, ${cosSql("a.v", "b.v")} AS score
          FROM e a JOIN e b ON a.vec_id < b.vec_id
-         WHERE ${cosSql("a.v", "b.v")} >= 0.5
+         WHERE ${cosSql("a.v", "b.v")} >= $S3MinCos
          ORDER BY id_a, id_b""",
 
     "e1_embedding_norms" ->

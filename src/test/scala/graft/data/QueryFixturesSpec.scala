@@ -55,8 +55,8 @@ class QueryFixturesSpec extends AnyFunSuite {
 
   test("h1: boilerplate vanishes, inline link survives, markdown decorates") {
     val (_, plain, md) = QueryFixtures.htmlRow(0)
-    // d=0: t0=alpha h=brick c=alpha..frost(j:0-5) il=alpha,house? no:
-    // il_j = W(0*7+j) = w[j] → alpha brick cloud delta
+    // d=0: t0=W(0)=alpha, h=W(1)=brick, content c_j=W(j) for j=0..5,
+    // inline-link words il_j = W(0*7+j) = w[j] → alpha brick cloud delta
     assert(plain ==
       "alpha\n\nbrick\n\nalpha brick cloud & delta eagle frost\n\nalpha brick cloud delta")
     assert(md ==

@@ -71,13 +71,16 @@ class SimilaritySpec extends AnyFunSuite {
     // stays < 1e-3 on every test corpus — asserted here over the REAL
     // testdata (the d3 precondition pattern) so a corpus change that
     // re-densifies the boundary fails HERE with a clear message.
+    // config comes from SparkEntry so the guard cannot desynchronize
+    // from what the s3 query actually runs
+    import graft.SparkEntry.{S3MaxBucket, S3MinCos, S3Tables, S3TargetBucket}
     for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
-      val rows = spark.read
-        .parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val emb = spark.read.parquet(s"/root/testdata/$sf/embeddings.parquet")
+      val rows = emb
         .selectExpr("cast(embedding as array<double>)")
         .collect().map(_.getSeq[Double](0).toArray)
       val n = rows.length
-      val planes = Similarity.sizePlanes(n, targetBucket = 125)
+      val planes = Similarity.sizePlanes(n, targetBucket = S3TargetBucket)
       val norms = rows.map(v => math.sqrt(v.map(x => x * x).sum))
       var expectedMisses = 0.0
       var pairs = 0
@@ -87,21 +90,84 @@ class SimilaritySpec extends AnyFunSuite {
         var k = 0
         while (k < rows(i).length) { dot += rows(i)(k) * rows(j)(k); k += 1 }
         val c = dot / (norms(i) * norms(j))
-        if (c >= 0.5) {
+        if (c >= S3MinCos) {
           pairs += 1
           if (c < minC) minC = c
           val p = 1.0 - math.acos(math.min(1.0, c)) / math.Pi
-          expectedMisses += math.pow(1.0 - math.pow(p, planes), 48)
+          expectedMisses += math.pow(1.0 - math.pow(p, planes), S3Tables)
         }
       }
+      // the E[miss] model above assumes the maxBucket re-split path is
+      // INERT (re-splitting separates bucket members and adds misses
+      // the closed form does not see) — assert no bucket exceeds the
+      // cap at this scale, so the model is exact for this corpus
+      val maxOcc = Similarity.bandedBuckets(emb, "embedding", "vec_id",
+          planes = planes, tables = S3Tables)
+        .groupBy("tbl", "bucket").count()
+        .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
       info(f"$sf%s: n=$n%d planes=$planes%d pairs=$pairs%d " +
-        f"minCos=$minC%.4f E[missed]=$expectedMisses%.2e")
+        f"minCos=$minC%.4f E[missed]=$expectedMisses%.2e maxBucket=$maxOcc%d")
+      assert(maxOcc <= S3MaxBucket,
+        s"$sf: a bucket holds $maxOcc > $S3MaxBucket vectors — the s3 " +
+          "re-split is live and the expected-miss model no longer " +
+          "bounds the oracle gap; re-derive the bound for the re-split " +
+          "path before trusting the hash gate")
       assert(expectedMisses < 1e-3,
         f"$sf%s: E[missed pairs]=$expectedMisses%.2e — a pair sits in " +
           "the LSH recall gap; s3's hash-equality oracle no longer " +
           "holds for this testdata, raise minCos/tables or switch the " +
           "gate to a recall-tolerance compare")
     }
+  }
+
+  test("s3 exactness on planted near-dups: LSH equals brute force") {
+    // the live corpora hold only 0/1/14 pairs at cos >= S3MinCos, so
+    // the driver gate alone exercises little recall — this test plants
+    // a few hundred near-dup pairs across the saturation band and
+    // asserts the LSH output IS the brute-force answer. dim=256 keeps
+    // the random background (std 1/16) eight sigma below the
+    // threshold, so the expected pair set is exactly the planted one
+    // plus whatever brute force finds.
+    import spark.implicits._
+    import graft.SparkEntry.{S3MaxBucket, S3MinCos, S3Tables, S3TargetBucket}
+    val dim = 256
+    def u(s: Long): Float = {
+      val z = s * 0x9E3779B97F4A7C15L
+      ((z >>> 11).toDouble / 4503599627370496.0 - 1.0).toFloat
+    }
+    val base = (0 until 300).map(i =>
+      Array.tabulate(dim)(d => u((i + 3L) * dim + d)))
+    // 150 planted neighbors: vec 300+i = a unit-mix of base(i) and an
+    // independent noise vector; alpha sweeps the cos range ~[0.62, 0.99]
+    val planted = (0 until 150).map { i =>
+      val alpha = 0.62f + 0.37f * (i / 150.0f)
+      val noise = Array.tabulate(dim)(d => u((i + 7000L) * dim + d))
+      val nb = math.sqrt(base(i).map(x => x.toDouble * x).sum).toFloat
+      val nn = math.sqrt(noise.map(x => x.toDouble * x).sum).toFloat
+      Array.tabulate(dim)(d =>
+        alpha * base(i)(d) / nb +
+          math.sqrt(1.0 - alpha * alpha).toFloat * noise(d) / nn)
+    }
+    val all = base ++ planted
+    val df = all.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toDF("vec_id", "embedding")
+    // brute force
+    val norms = all.map(v => math.sqrt(v.map(x => x.toDouble * x).sum))
+    val exact = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      c = (0 until dim).map(k => all(i)(k).toDouble * all(j)(k)).sum /
+        (norms(i) * norms(j))
+      if c >= S3MinCos
+    } yield (i.toLong, j.toLong)).toSet
+    assert(exact.size >= 140, s"planting failed: ${exact.size} pairs")
+    val planes = Similarity.sizePlanes(all.length, S3TargetBucket)
+    val lsh = Similarity.cosineNearDups(df, "embedding", "vec_id",
+        minCos = S3MinCos, planes = planes, tables = S3Tables,
+        maxBucket = S3MaxBucket)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(lsh == exact,
+      s"missed=${(exact -- lsh).size} extra=${(lsh -- exact).size} " +
+        s"of ${exact.size} true pairs")
   }
 
   test("cosine near-dups finds identical pairs at score 1") {
