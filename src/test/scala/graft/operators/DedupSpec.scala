@@ -234,7 +234,7 @@ class DedupSpec extends AnyFunSuite {
     // the actual driver testdata via the gate's total expected misses,
     // so new testdata with a mid-similarity pair fails HERE with a
     // clear message instead of flaking the gate.
-    for (sf <- Seq("sf0.001", "sf0.01")) {
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1")) {
       val docs = spark.read.parquet(s"/root/testdata/$sf/documents.parquet")
       val js = Dedup.jaccardPairs(docs, "text", "doc_id", n = 3, minJ = 0.2)
         .select("jaccard").collect().map(_.getDouble(0))
