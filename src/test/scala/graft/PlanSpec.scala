@@ -95,6 +95,22 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("d4: pigeonhole segment join is a hash join, never a cross product") {
+    val df = SparkEntry.queries("d4_simhash_neardups")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("s4: IVF probe filters cells before the distance join, no cross product") {
+    val df = SparkEntry.queries("s4_ann_ivf")(spark, dir)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("d2: prefix-filtered join never degenerates to a cross product") {
     val df = SparkEntry.queries("d2_ngram_jaccard")(spark, dir)
     df.collect()
