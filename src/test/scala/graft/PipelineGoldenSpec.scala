@@ -82,6 +82,34 @@ class PipelineGoldenSpec extends AnyFunSuite {
     assertSpanEquality(out, goldens.map(_.expected))
   }
 
+  test("salted repartition actually spreads a mega-doc across partitions") {
+    // the correctness of the salted path is covered above; this pins
+    // the SCALE property the north rule names ("salted repartitioning
+    // ... to defuse skew from mega-documents"): applying the exact
+    // expression Pipeline uses — repartition(parts, hash(doc_id,
+    // floor(offset / chunkSpans))) — to one 5000-span doc must land
+    // bounded work on every physical partition, not one hot task
+    import spark.implicits._
+    val chunk = 64
+    val parts = 8
+    val flat = Seq(
+        Doc("mega-0", (0 until 5000).map(i => Span("html", "x", null, i))))
+      .toDS()
+      .select($"doc_id", explode($"spans").as("s"))
+      .select($"doc_id", $"s.offset".as("offset"))
+      .as[(String, Int)]
+    val loads = flat
+      .repartition(parts, hash($"doc_id", floor($"offset" / chunk)))
+      .mapPartitions(it => Iterator(it.length))
+      .collect()
+    val used = loads.count(_ > 0)
+    val mean = 5000.0 / parts
+    assert(used >= parts - 2, s"mega-doc landed on only $used of $parts partitions")
+    assert(loads.max <= mean * 2,
+      s"hot partition holds ${loads.max} of 5000 spans (mean $mean) — " +
+        "the chunk salt is not spreading the skew")
+  }
+
   test("success flags and empty docs survive") {
     import spark.implicits._
     val goldens = CorpusGen.goldens(200)
