@@ -435,6 +435,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // media pipeline: resize (aspect-fit + container REBUILD, raster
+    // step stubbed by contract) re-parsed by the REAL header parsers —
+    // the output dims prove the builder/parser round-trip at arbitrary
+    // sizes — joined with the frame-sample generator's row counts. The
+    // oracle predicts resized dims closed-form from the construction
+    // arithmetic and frame counts from the payload-length formula; the
+    // stubbed raster bytes never reach the hash.
+    "m2_media_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      val payload = Media.withPayload(t(s, dir, "documents"), "text")
+      val meta = Media.extractMeta(
+          Media.resize(payload, "doc_id", "payload", 64, 64),
+          "doc_id", "payload")
+        .select($"doc_id".cast("long").as("doc_id"), $"kind",
+          $"width", $"height")
+      val nf = Media.frameSample(payload, "doc_id", "payload",
+          frameBytes = 1024, everyK = 4)
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+      meta.join(nf, "doc_id").orderBy($"doc_id")
+    }),
+
     "j1_json_extract" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "events")
@@ -1157,6 +1178,34 @@ object SparkEntry {
                 WHEN 3 THEN 30 + 3 * (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
                 WHEN 4 THEN 50 ELSE 30 END AS n_bytes
          FROM documents ORDER BY 1""",
+
+    // m2: resized dims = integer aspect-fit of the m1 construction dims
+    // (w = n_chars%640+16, h = n_chars%480+16, wav dimensionless);
+    // frame count = ceil(ceil(plen/1024)/4) over the original payload
+    // length, which is octet_length(text) + the per-kind header size.
+    "m2_media_pipeline" ->
+      """WITH base AS (
+           SELECT doc_id,
+             (n_chars % 640 + 16) AS w, (n_chars % 480 + 16) AS h,
+             CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+                  WHEN 2 THEN 'wav' WHEN 3 THEN 'jpeg'
+                  WHEN 4 THEN 'tiff' ELSE 'webp' END AS kind,
+             octet_length(encode(text)) +
+               CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
+                    WHEN 3 THEN 30 + 3 * (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
+                    WHEN 4 THEN 50 ELSE 30 END AS plen
+           FROM documents)
+         SELECT doc_id, kind,
+           CASE WHEN kind = 'wav' THEN 0
+                WHEN w <= 64 AND h <= 64 THEN w
+                WHEN w >= h THEN 64
+                ELSE greatest(1, (w * 64) // h) END AS width,
+           CASE WHEN kind = 'wav' THEN 0
+                WHEN w <= 64 AND h <= 64 THEN h
+                WHEN w >= h THEN greatest(1, (h * 64) // w)
+                ELSE 64 END AS height,
+           ((plen + 1023) // 1024 + 3) // 4 AS n_frames
+         FROM base ORDER BY doc_id""",
 
     "p2_field_extract" ->
       s"""WITH src AS (SELECT doc_id, $certSql AS text FROM documents),

@@ -301,6 +301,117 @@ object Media {
       .toDF("doc_id", "payload")
   }
 
+  // ------------------------------------- resize / frame-sample / features
+
+  /** Aspect-fit resize target with exact integer arithmetic (so any SQL
+    * engine can mirror it closed-form): unchanged when the image already
+    * fits; otherwise the limiting axis pins to the box and the other
+    * scales by floor division, clamped to >= 1.
+    */
+  def fitDims(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    require(maxW >= 1 && maxH >= 1, "fit box must be at least 1x1")
+    if (w <= maxW && h <= maxH) (w, h)
+    else if (w.toLong * maxH >= h.toLong * maxW) // width is the limiter
+      (maxW, math.max(1, (h.toLong * maxW / w).toInt))
+    else (math.max(1, (w.toLong * maxH / h).toInt), maxH)
+  }
+
+  /** Resize image payloads to fit (maxW, maxH): decode → aspect-fit →
+    * REBUILD a spec-correct container of the same family at the new
+    * dims, so the header parsers re-read their own builders' output at
+    * arbitrary sizes. The raster resample itself is STUBBED — this
+    * container ships no pixel codecs — as the deterministic
+    * every-k-th-byte decimation of the payload (k = area shrink
+    * factor): the right data-volume shape without pretending to
+    * interpolate pixels; a codec-backed deployment swaps `resizeOne`'s
+    * body step only. Audio, already-fitting images, and unknown
+    * payloads pass through unchanged (same soft-fail contract as
+    * decode). Typed mapPartitions keeps codec state per-partition.
+    */
+  def resize(df: DataFrame, idCol: String, payloadCol: String,
+      maxW: Int, maxH: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, resizeOne(bytes, maxW, maxH))
+      })
+      .toDF(idCol, payloadCol)
+  }
+
+  /** png channels → IHDR colorType (inverse of parsePng's mapping). */
+  private val pngColorType = Map(1 -> 0, 2 -> 4, 3 -> 2, 4 -> 6)
+
+  private[graft] def resizeOne(bytes: Array[Byte], maxW: Int,
+      maxH: Int): Array[Byte] = {
+    val m = decode("", bytes)
+    val isImage = m.kind == "png" || m.kind == "bmp" || m.kind == "jpeg" ||
+      m.kind == "tiff" || m.kind == "webp"
+    if (!isImage) return bytes
+    val (rw, rh) = fitDims(m.width, m.height, maxW, maxH)
+    if (rw == m.width && rh == m.height) return bytes
+    val k = math.max(1L,
+      m.width.toLong * m.height / math.max(1L, rw.toLong * rh)).toInt
+    val body = Array.tabulate((bytes.length + k - 1) / k)(i => bytes(i * k))
+    m.kind match {
+      case "png"  => pngBytes(rw, rh, pngColorType.getOrElse(m.channels, 2), body)
+      case "bmp"  => bmpBytes(rw, rh, body)
+      case "jpeg" => jpegBytes(rw, rh, m.channels, body)
+      case "tiff" => tiffBytes(rw, rh, m.channels, body)
+      case _      => webpBytes(rw, rh, m.channels == 4, body)
+    }
+  }
+
+  /** Frame sampling: explode a payload into every-`everyK`-th frame row
+    * of `frameBytes` bytes — (id, frame_idx, frame). The frame GRID and
+    * the generator plumbing (bounded per-row memory, explicit ordering
+    * column, no whole-payload rows downstream) are the distributed
+    * substance; a real video demuxer would replace only the byte-range
+    * slice.
+    */
+  def frameSample(df: DataFrame, idCol: String, payloadCol: String,
+      frameBytes: Int = 1024, everyK: Int = 1): DataFrame = {
+    require(frameBytes >= 1 && everyK >= 1, "frameBytes and everyK must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+        (0 until nFrames by everyK).iterator.map { f =>
+          val lo = f * frameBytes
+          (id, f, java.util.Arrays.copyOfRange(bytes, lo,
+            math.min(bytes.length, lo + frameBytes)))
+        }
+      })
+      .toDF(idCol, "frame_idx", "frame")
+  }
+
+  /** Content features — real computation, not a stub: L1-normalized
+    * 16-bin histogram of the payload's high nibbles as Array[Float],
+    * shaped to plug straight into the Similarity operators (cosine
+    * top-k / LSH / IVF) for media near-dup pipelines.
+    */
+  def byteFeatures(df: DataFrame, idCol: String,
+      payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(payloadCol))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val h = new Array[Float](16)
+        var i = 0
+        while (i < bytes.length) { h((bytes(i) & 0xF0) >> 4) += 1f; i += 1 }
+        if (bytes.length > 0) {
+          var j = 0
+          while (j < 16) { h(j) /= bytes.length; j += 1 }
+        }
+        (id, h.toSeq)
+      })
+      .toDF(idCol, "feature")
+  }
+
   /** Decode metadata from binary payloads — typed mapPartitions so
     * decoder state is initialized once per partition.
     */

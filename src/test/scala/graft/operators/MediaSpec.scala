@@ -161,4 +161,74 @@ class MediaSpec extends AnyFunSuite {
       Media.decode("c", c)
     }
   }
+
+  test("fitDims: exact integer aspect-fit") {
+    assert(Media.fitDims(32, 20, 64, 64) == (32, 20)) // already fits
+    assert(Media.fitDims(320, 200, 64, 64) == (64, 40)) // width limits
+    assert(Media.fitDims(200, 320, 64, 64) == (40, 64)) // height limits
+    assert(Media.fitDims(64, 64, 64, 64) == (64, 64)) // boundary
+    assert(Media.fitDims(1000, 10, 64, 64) == (64, 1)) // clamp to 1
+    assert(Media.fitDims(100, 100, 64, 32) == (32, 32)) // uneven box
+  }
+
+  test("resize rebuilds a container the parsers re-read at the new dims") {
+    val body = Array.tabulate(4000)(_.toByte)
+    for ((bytes, kind, ch) <- Seq(
+        (Media.pngBytes(320, 200, 2, body), "png", 3),
+        (Media.bmpBytes(320, 200, body), "bmp", 3),
+        (Media.jpegBytes(320, 200, 3, body), "jpeg", 3),
+        (Media.tiffBytes(320, 200, 3, body), "tiff", 3),
+        (Media.webpBytes(320, 200, alpha = true, body), "webp", 4))) {
+      val r = Media.resizeOne(bytes, 64, 64)
+      val m = Media.decode("r", r)
+      assert((m.kind, m.width, m.height) == (kind, 64, 40), kind)
+      assert(m.channels == ch, s"$kind channels survive the rebuild")
+      assert(r.length < bytes.length, s"$kind decimated body shrinks")
+    }
+    // pass-throughs are BYTE-identical: fitting image, audio, junk
+    val fits = Media.pngBytes(32, 20, 2, body)
+    assert(Media.resizeOne(fits, 64, 64) eq fits)
+    val wav = Media.wavBytes(1, 8000, body)
+    assert(Media.resizeOne(wav, 64, 64) eq wav)
+    val junk = Array[Byte](1, 2, 3)
+    assert(Media.resizeOne(junk, 64, 64) eq junk)
+  }
+
+  test("frameSample grid: bounded frames, correct slices, everyK stride") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val bytes = Array.tabulate(2500)(_.toByte) // 3 frames of 1024
+    val df = Seq((7L, bytes)).toDF("doc_id", "payload")
+    val rows = Media.frameSample(df, "doc_id", "payload",
+        frameBytes = 1024, everyK = 2)
+      .orderBy("frame_idx")
+      .collect()
+    assert(rows.map(_.getInt(1)).toSeq == Seq(0, 2)) // frames 0 and 2 of 3
+    assert(rows(0).getAs[Array[Byte]]("frame").length == 1024)
+    assert(rows(1).getAs[Array[Byte]]("frame").length == 2500 - 2048)
+    assert(rows(1).getAs[Array[Byte]]("frame")(0) == bytes(2048))
+  }
+
+  test("byteFeatures: normalized histogram that feeds the similarity ops") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val df = Seq(
+        (1L, Array.tabulate(256)(_.toByte)), // uniform high nibbles
+        (2L, Array.fill(100)(0x10.toByte))   // all mass in bin 1
+      ).toDF("doc_id", "payload")
+    val feats = Media.byteFeatures(df, "doc_id", "payload")
+    val rows = feats.orderBy("doc_id").collect()
+    val f1 = rows(0).getSeq[Float](1)
+    assert(f1.length == 16 && f1.forall(v => math.abs(v - 1f / 16) < 1e-6))
+    val f2 = rows(1).getSeq[Float](1)
+    assert(math.abs(f2(1) - 1f) < 1e-6 && math.abs(f2.sum - 1f) < 1e-5)
+    // composes with the ANN operators directly
+    val top = Similarity.bruteForceTopK(
+      feats.withColumnRenamed("feature", "embedding")
+        .withColumnRenamed("doc_id", "vec_id"),
+      feats.limit(1).withColumnRenamed("feature", "embedding")
+        .withColumnRenamed("doc_id", "vec_id"),
+      "embedding", "vec_id", k = 1)
+    assert(top.count() == 1)
+  }
 }
