@@ -444,7 +444,10 @@ object SparkEntry {
     // stubbed raster bytes never reach the hash.
     "m2_media_pipeline" -> ((s, dir) => {
       import s.implicits._
+      // one container build feeds both branches (resize→meta and the
+      // frame counter) — the house multi-consumer pattern
       val payload = Media.withPayload(t(s, dir, "documents"), "text")
+        .localCheckpoint()
       val meta = Media.extractMeta(
           Media.resize(payload, "doc_id", "payload", 64, 64),
           "doc_id", "payload")
@@ -453,6 +456,7 @@ object SparkEntry {
       val nf = Media.frameSample(payload, "doc_id", "payload",
           frameBytes = 1024, everyK = 4)
         .groupBy($"doc_id").agg(count(lit(1)).as("n_frames"))
+        .select($"doc_id".cast("long").as("doc_id"), $"n_frames")
       meta.join(nf, "doc_id").orderBy($"doc_id")
     }),
 
@@ -855,6 +859,20 @@ object SparkEntry {
            UNION
            SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)"""
 
+  /** Media construction arithmetic shared by the m1 and m2 oracles —
+    * one definition so a builder/header change cannot make the two
+    * oracles silently disagree (kind rotation + per-kind header size
+    * of Media.withPayload's builders).
+    */
+  private val mediaKindSql =
+    """CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
+              WHEN 3 THEN 'jpeg' WHEN 4 THEN 'tiff' ELSE 'webp' END"""
+  private val mediaLenSql =
+    """octet_length(encode(text)) +
+           CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
+                WHEN 3 THEN 30 + 3 * (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
+                WHEN 4 THEN 50 ELSE 30 END"""
+
   /** FNV-1a 64 over code points as a DuckDB HUGEINT fold — the exact
     * mirror of graft.operators.Dedup.fnv1a64 (d4's signature hash).
     */
@@ -1161,9 +1179,8 @@ object SparkEntry {
          FROM embeddings ORDER BY vec_id""",
 
     "m1_media_meta" ->
-      """SELECT CAST(doc_id AS VARCHAR) AS doc_id,
-         CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' WHEN 2 THEN 'wav'
-              WHEN 3 THEN 'jpeg' WHEN 4 THEN 'tiff' ELSE 'webp' END AS kind,
+      s"""SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+         $mediaKindSql AS kind,
          CASE WHEN doc_id % 6 = 2 THEN 0 ELSE n_chars % 640 + 16 END AS width,
          CASE WHEN doc_id % 6 = 2 THEN 0 ELSE n_chars % 480 + 16 END AS height,
          CASE WHEN doc_id % 6 = 0 THEN (CASE n_chars % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)
@@ -1173,10 +1190,7 @@ object SparkEntry {
               WHEN doc_id % 6 = 4 THEN n_chars % 3 + 1
               ELSE 3 + n_chars % 2 END AS channels,
          CASE WHEN doc_id % 6 = 2 THEN 8000 + (n_chars % 4) * 8000 ELSE 0 END AS sample_rate,
-         octet_length(encode(text)) +
-           CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
-                WHEN 3 THEN 30 + 3 * (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
-                WHEN 4 THEN 50 ELSE 30 END AS n_bytes
+         $mediaLenSql AS n_bytes
          FROM documents ORDER BY 1""",
 
     // m2: resized dims = integer aspect-fit of the m1 construction dims
@@ -1184,16 +1198,11 @@ object SparkEntry {
     // frame count = ceil(ceil(plen/1024)/4) over the original payload
     // length, which is octet_length(text) + the per-kind header size.
     "m2_media_pipeline" ->
-      """WITH base AS (
+      s"""WITH base AS (
            SELECT doc_id,
              (n_chars % 640 + 16) AS w, (n_chars % 480 + 16) AS h,
-             CASE doc_id % 6 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
-                  WHEN 2 THEN 'wav' WHEN 3 THEN 'jpeg'
-                  WHEN 4 THEN 'tiff' ELSE 'webp' END AS kind,
-             octet_length(encode(text)) +
-               CASE doc_id % 6 WHEN 0 THEN 33 WHEN 1 THEN 54 WHEN 2 THEN 44
-                    WHEN 3 THEN 30 + 3 * (CASE n_chars % 2 WHEN 0 THEN 1 ELSE 3 END)
-                    WHEN 4 THEN 50 ELSE 30 END AS plen
+             $mediaKindSql AS kind,
+             $mediaLenSql AS plen
            FROM documents)
          SELECT doc_id, kind,
            CASE WHEN kind = 'wav' THEN 0

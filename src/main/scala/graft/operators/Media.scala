@@ -332,8 +332,10 @@ object Media {
       maxW: Int, maxH: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    // id rides as string like extractMeta's — numeric AND string doc
+    // ids are supported shapes everywhere in this module
+    df.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         (id, resizeOne(bytes, maxW, maxH))
       })
@@ -351,8 +353,12 @@ object Media {
     if (!isImage) return bytes
     val (rw, rh) = fitDims(m.width, m.height, maxW, maxH)
     if (rw == m.width && rh == m.height) return bytes
-    val k = math.max(1L,
-      m.width.toLong * m.height / math.max(1L, rw.toLong * rh)).toInt
+    // clamp BEFORE the Long->Int narrowing: a corrupt header claiming a
+    // 2^24 x 2^24 canvas makes the area ratio 2^36, whose toInt wraps
+    // to 0 (divide-by-zero) or negative — one bad blob must not kill
+    // the job, same soft-fail contract as decode
+    val k = math.min(Int.MaxValue.toLong, math.max(1L,
+      m.width.toLong * m.height / math.max(1L, rw.toLong * rh))).toInt
     val body = Array.tabulate((bytes.length + k - 1) / k)(i => bytes(i * k))
     m.kind match {
       case "png"  => pngBytes(rw, rh, pngColorType.getOrElse(m.channels, 2), body)
@@ -375,14 +381,17 @@ object Media {
     require(frameBytes >= 1 && everyK >= 1, "frameBytes and everyK must be >= 1")
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
-        val nFrames = (bytes.length + frameBytes - 1) / frameBytes
-        (0 until nFrames by everyK).iterator.map { f =>
-          val lo = f * frameBytes
-          (id, f, java.util.Arrays.copyOfRange(bytes, lo,
-            math.min(bytes.length, lo + frameBytes)))
+        if (bytes == null) Iterator.empty // null payload → no frames
+        else {
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (0 until nFrames by everyK).iterator.map { f =>
+            val lo = f * frameBytes
+            (id, f, java.util.Arrays.copyOfRange(bytes, lo,
+              math.min(bytes.length, lo + frameBytes)))
+          }
         }
       })
       .toDF(idCol, "frame_idx", "frame")
@@ -397,13 +406,13 @@ object Media {
       payloadCol: String): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(col(idCol).cast("long"), col(payloadCol))
-      .as[(Long, Array[Byte])]
+    df.select(col(idCol).cast("string"), col(payloadCol))
+      .as[(String, Array[Byte])]
       .mapPartitions(_.map { case (id, bytes) =>
         val h = new Array[Float](16)
-        var i = 0
-        while (i < bytes.length) { h((bytes(i) & 0xF0) >> 4) += 1f; i += 1 }
-        if (bytes.length > 0) {
+        if (bytes != null && bytes.length > 0) { // null → zero vector
+          var i = 0
+          while (i < bytes.length) { h((bytes(i) & 0xF0) >> 4) += 1f; i += 1 }
           var j = 0
           while (j < 16) { h(j) /= bytes.length; j += 1 }
         }

@@ -194,6 +194,27 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.resizeOne(junk, 64, 64) eq junk)
   }
 
+  test("resize/frameSample/byteFeatures honor the soft-fail contract") {
+    // corrupt header claiming a ~2^24 square canvas: the area ratio is
+    // ~2^48/2^12, whose unclamped Long->Int narrowing wraps to 0 and
+    // divides by zero — must degrade gracefully instead
+    val huge = Media.webpBytes(16777215, 16777215, alpha = false,
+      Array.fill(64)(1.toByte))
+    val r = Media.resizeOne(huge, 64, 64)
+    assert(Media.decode("h", r).width == 64)
+    assert(Media.resizeOne(null, 64, 64) == null)
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    // string ids and a null payload are both supported shapes
+    val df = Seq(("doc-a", null: Array[Byte]), ("doc-b", Array[Byte](1, 2, 3)))
+      .toDF("doc_id", "payload")
+    assert(Media.frameSample(df, "doc_id", "payload").count() == 1)
+    val f = Media.byteFeatures(df, "doc_id", "payload")
+      .orderBy("doc_id").collect()
+    assert(f(0).getSeq[Float](1).forall(_ == 0f)) // null → zero vector
+    assert(Media.resize(df, "doc_id", "payload", 64, 64).count() == 2)
+  }
+
   test("frameSample grid: bounded frames, correct slices, everyK stride") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
