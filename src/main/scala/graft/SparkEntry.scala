@@ -317,10 +317,12 @@ object SparkEntry {
     // near-dups: 5 segments of ~13 bits keep the blocking join keys
     // selective (2^13 values); wider thresholds shrink segments and the
     // candidate volume grows toward all-pairs (measured 18.7s at sf0.1
-    // with maxHamming=12 vs ~1s here).
+    // with maxHamming=12 vs ~1s here). maxBucket re-splits hub buckets
+    // recursively (recall-exact — see Dedup.simhashBuckets), so output
+    // is byte-identical with the cap on or off.
     "d4_simhash_neardups" -> ((s, dir) => {
       Dedup.simhashNearDups(t(s, dir, "documents"), "text", "doc_id",
-          maxHamming = 4)
+          maxHamming = 4, maxBucket = D4MaxBucket)
         .orderBy("id_a", "id_b")
     }),
 
@@ -717,6 +719,7 @@ object SparkEntry {
   private[graft] val S3Tables = 48
   private[graft] val S3TargetBucket = 125
   private[graft] val S3MaxBucket = 500
+  private[graft] val D4MaxBucket = 500
 
   /** The exact near-dup pair table shared by d2 (which outputs it) and
     * d5 (which clusters it) — one definition so the two queries and the

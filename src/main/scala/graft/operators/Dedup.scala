@@ -325,7 +325,8 @@ object Dedup {
     * Scale note: wide thresholds mean narrow segments (h=12 -> 13
     * segments of ~5 bits -> only 32 distinct values per position), so
     * candidate volume grows; at 10^9 docs keep maxHamming <= 3 (4
-    * segments x 16 bits) and verify survivors with a cheaper metric.
+    * segments x 16 bits) AND set maxBucket so hub buckets re-split
+    * recursively (see simhashBuckets) instead of going all-pairs.
     */
   def simhashSegments(maxHamming: Int): Seq[(Int, Long)] = {
     require(maxHamming >= 0 && maxHamming <= 31,
@@ -338,38 +339,146 @@ object Dedup {
     }
   }
 
-  /** SimHash near-dup pairs with hamming distance <= maxHamming —
-    * EXACT output (recall guaranteed by pigeonhole blocking, precision
-    * by the explicit hamming filter).
+  /** (doc_id, sig) signature table — the scan stage of simhashNearDups,
+    * exposed so tests and capacity probes can drive the blocking from
+    * synthetic signatures without a tokenize pass.
     */
-  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
-      maxHamming: Int = 3): DataFrame = {
+  def simhashSigs(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val idType = docs.schema(idCol).dataType
-    val sigs = docs.select(col(idCol).cast("string").as("doc_id"),
+    docs.select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
       .mapPartitions(_.map { case (id, ts) => (id, simhash64(ts)) })
       .toDF("doc_id", "sig")
       .withColumn("doc_id", col("doc_id").cast(idType))
+  }
+
+  /** Pigeonhole bucket assignment (doc_id, sig, bkey) for SimHash
+    * blocking, with recursive skew re-split (the Dedup analog of
+    * Similarity.bandedBuckets' maxBucket defense, but RECALL-EXACT):
+    *
+    * Level 0 explodes each signature into (maxHamming + 1) segment
+    * keys. When maxBucket > 0, any bucket holding more than maxBucket
+    * members — docs that share one segment but mostly differ elsewhere,
+    * the n^2-candidate hub case — is re-exploded on the (maxHamming+1)
+    * segments of the signature ROTATED left by 29*depth bits, up to
+    * maxDepth times. Soundness of the recursion: rotation preserves
+    * hamming distance, so a true pair (<= maxHamming differing bits)
+    * still shares >= 1 rotated segment at every level, and the split
+    * decision is per-bucket — both members of a co-bucketed pair split
+    * together — so some leaf bucket always holds both. ANY rotation is
+    * sound; the bit-reversal offset sequence (w/2, w/4, 3w/4, ...)
+    * keeps every depth's segment boundaries far from all previous
+    * depths', so each child segment straddles previously-shared
+    * segments and keeps informative bits — child buckets shrink
+    * ~2^(w/4)+ per level for non-duplicate hubs.
+    * Candidate volume is thus bounded by ~n * maxBucket * fanout at
+    * every cap crossing instead of n^2. Genuinely duplicate hubs
+    * (pairwise hamming <= maxHamming) stop splitting at maxDepth and
+    * pay their inherent quadratic output.
+    *
+    * Bucket keys are hash-chained (xxhash64 over parent key + depth +
+    * segment + value) — a hash collision merges two buckets, which only
+    * ADDS candidates; the exact hamming filter downstream keeps the
+    * final output bit-identical to brute force either way.
+    */
+  def simhashBuckets(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0, maxDepth: Int = 3): DataFrame = {
+    val segs = simhashSegments(maxHamming)
+
     // mask, never mod: % keeps the dividend's sign in Spark, so a
     // negative signature's segment 0 would come out negative and never
     // match its positive-signature twin (bit 63 must not leak into the
     // low segment's join key)
-    val seg = sigs.select($"doc_id", $"sig",
-      posexplode(array(simhashSegments(maxHamming).map { case (lo, m) =>
-        shiftrightunsigned($"sig", lo).bitwiseAND(lit(m))
-      }: _*)).as(Seq("seg", "sv")))
-    val ham = udfFreeHamming($"a.sig", $"b.sig")
-    seg.as("a").join(seg.as("b"),
-        $"a.seg" === $"b.seg" && $"a.sv" === $"b.sv" &&
-          $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
-        ham.as("hamming"))
-      .dropDuplicates("id_a", "id_b")
-      .filter($"hamming" <= maxHamming)
+    val w = math.max(2, 64 / segs.length)
+
+    // depth-d segmentation offset: binary van der Corput (bit-reversal)
+    // fraction of the segment width — 0, w/2, w/4, 3w/4, w/8, ... —
+    // so every depth's boundaries sit maximally far from ALL previous
+    // depths' (a plain d*w/2 stride collapses to two alternating
+    // families mod w, leaving docs that share one segment per family
+    // co-bucketed forever)
+    def rotOf(depth: Int): Int = {
+      var frac = 0.0
+      var d = depth
+      var denom = 2.0
+      while (d > 0) { frac += (d % 2) / denom; denom *= 2; d /= 2 }
+      (frac * w).toInt % 64
+    }
+
+    def explodeLevel(df: DataFrame, depth: Int): DataFrame = {
+      val rot = rotOf(depth)
+      val rsig =
+        if (rot == 0) col("sig")
+        else shiftleft(col("sig"), rot)
+          .bitwiseOR(shiftrightunsigned(col("sig"), 64 - rot))
+      df.select(col("doc_id"), col("sig"), col("bkey"),
+          posexplode(array(segs.map { case (lo, m) =>
+            shiftrightunsigned(rsig, lo).bitwiseAND(lit(m))
+          }: _*)).as(Seq("seg", "sv")))
+        .select(col("doc_id"), col("sig"),
+          xxhash64(col("bkey"), lit(depth), col("seg"), col("sv"))
+            .as("bkey"))
+    }
+
+    var frontier = explodeLevel(sigs.withColumn("bkey", lit(0L)), 0)
+    if (maxBucket <= 0) frontier
+    else {
+      frontier = frontier.localCheckpoint(true)
+      var done = List.empty[DataFrame]
+      var depth = 1
+      var growing = true
+      while (growing && depth <= maxDepth) {
+        // the oversize list is bounded by n/maxBucket keys — broadcast
+        // it back instead of shuffling the frontier twice
+        val over = frontier.groupBy("bkey").agg(count(lit(1)).as("n"))
+          .filter(col("n") > maxBucket).select("bkey")
+          .localCheckpoint(true)
+        if (over.isEmpty) growing = false
+        else {
+          // using-column joins move the key FIRST in column order, and
+          // union is positional — re-select before collecting parts
+          done ::= frontier.join(broadcast(over), Seq("bkey"), "left_anti")
+            .select("doc_id", "sig", "bkey")
+          frontier =
+            explodeLevel(frontier.join(broadcast(over), Seq("bkey"), "left_semi")
+                .select("doc_id", "sig", "bkey"), depth)
+              .localCheckpoint(true)
+          depth += 1
+        }
+      }
+      done.foldLeft(frontier)(_ union _)
+    }
   }
+
+  /** Distinct SimHash candidate id pairs (id_a < id_b, with both sigs)
+    * before the hamming filter — exposed so tests and capacity planning
+    * can measure candidate volume under a maxBucket cap.
+    */
+  def simhashCandidates(sigs: DataFrame, maxHamming: Int,
+      maxBucket: Int = 0, maxDepth: Int = 3): DataFrame = {
+    val keyed = simhashBuckets(sigs, maxHamming, maxBucket, maxDepth)
+    keyed.as("a").join(keyed.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming —
+    * EXACT output (recall guaranteed by pigeonhole blocking — recursive
+    * under maxBucket, see simhashBuckets — precision by the explicit
+    * hamming filter).
+    */
+  def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 0, maxDepth: Int = 3): DataFrame =
+    simhashCandidates(simhashSigs(docs, textCol, idCol), maxHamming,
+        maxBucket, maxDepth)
+      .select(col("id_a"), col("id_b"),
+        udfFreeHamming(col("sig_a"), col("sig_b")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
 
   /** bit_count(a XOR b) as a Catalyst expression (no UDF). */
   private def udfFreeHamming(a: Column, b: Column): Column =

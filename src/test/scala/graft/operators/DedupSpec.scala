@@ -126,6 +126,57 @@ class DedupSpec extends AnyFunSuite {
       h = Dedup.hamming64(sa, sb) if h <= maxH
     } yield (ia, ib, h)).toSet
     assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+    // and byte-identical with the skew re-split FORCED on (maxBucket=3
+    // splits nearly every bucket on this corpus, through all depths)
+    val capped = Dedup.simhashNearDups(docs, "text", "doc_id", maxH,
+        maxBucket = 3, maxDepth = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == want,
+      s"maxBucket re-split changed output: missing=${want -- capped} " +
+        s"extra=${capped -- want}")
+  }
+
+  /** Deterministic synthetic signature corpus: 100k fully random
+    * background docs plus a planted dense hub of `hub` EXTRA docs that
+    * share segment 0 (bits 0-15) exactly but are random in the other
+    * 48 bits (pairwise hamming ~24 >> maxHamming, so they are NOT
+    * near-dups — the pure blocking-collision hub the re-split exists
+    * for). The hub is additive so the background candidate set is
+    * byte-identical across hub sizes and subtracts out cleanly.
+    */
+  private def hubSigCorpus(hub: Int) = {
+    import spark.implicits._
+    spark.range(100000L + hub).toDF("doc_id")
+      .select(col("doc_id"), when(col("doc_id") >= 100000L,
+          // fixed low 16 bits, hash-randomized high 48
+          expr("xxhash64('hub', doc_id)").bitwiseAND(lit(0xFFFFFFFFFFFF0000L))
+            .bitwiseOR(lit(0xABCDL)))
+        .otherwise(expr("xxhash64('bg', doc_id)")).as("sig"))
+  }
+
+  test("simhash re-split makes hub candidate volume sub-quadratic") {
+    val maxH = 3
+    def cands(hub: Int, maxBucket: Int): Long =
+      Dedup.simhashCandidates(hubSigCorpus(hub), maxH,
+        maxBucket = maxBucket).count()
+    val uncappedBig = cands(4000, 0)
+    val capped = cands(4000, 500)
+    // uncapped: the hub alone contributes hub*(hub-1)/2 all-pairs
+    assert(uncappedBig >= 4000L * 3999 / 2, s"uncapped=$uncappedBig")
+    // production cap: one straddled re-split shatters the hub bucket
+    // into ~2^(w/2) children — volume collapses by >= 8x
+    assert(capped * 8 <= uncappedBig,
+      s"capped=$capped uncapped=$uncappedBig")
+    // growth law: with a cap tight enough that the recursion engages at
+    // both hub sizes, the hub's candidate contribution must grow
+    // SUB-QUADRATICALLY in hub size (all-pairs would grow 16x across a
+    // 4x hub; the additive-background construction isolates the hub)
+    val bg = cands(0, 10)
+    val hubSmall = cands(1000, 10) - bg
+    val hubBig = cands(4000, 10) - bg
+    assert(hubSmall > 0, s"hubSmall=$hubSmall (fixture must collide)")
+    assert(hubBig <= 8L * hubSmall,
+      s"hubSmall=$hubSmall hubBig=$hubBig (16x would be quadratic)")
   }
 
   test("large-star/small-star CC matches label propagation on every shape") {
