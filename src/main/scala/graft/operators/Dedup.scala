@@ -363,8 +363,8 @@ object Dedup {
     * keys. When maxBucket > 0, any bucket holding more than maxBucket
     * members — docs that share one segment but mostly differ elsewhere,
     * the n^2-candidate hub case — is re-exploded on the (maxHamming+1)
-    * segments of the signature ROTATED left by 29*depth bits, up to
-    * maxDepth times. Soundness of the recursion: rotation preserves
+    * segments of a ROTATED copy of the signature (rotation varying by
+    * depth), up to maxDepth times. Soundness of the recursion: rotation preserves
     * hamming distance, so a true pair (<= maxHamming differing bits)
     * still shares >= 1 rotated segment at every level, and the split
     * decision is per-bucket — both members of a co-bucketed pair split

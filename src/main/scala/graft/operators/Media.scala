@@ -317,16 +317,20 @@ object Media {
   }
 
   /** Resize image payloads to fit (maxW, maxH): decode → aspect-fit →
-    * REBUILD a spec-correct container of the same family at the new
-    * dims, so the header parsers re-read their own builders' output at
-    * arbitrary sizes. The raster resample itself is STUBBED — this
-    * container ships no pixel codecs — as the deterministic
-    * every-k-th-byte decimation of the payload (k = area shrink
-    * factor): the right data-volume shape without pretending to
-    * interpolate pixels; a codec-backed deployment swaps `resizeOne`'s
-    * body step only. Audio, already-fitting images, and unknown
-    * payloads pass through unchanged (same soft-fail contract as
-    * decode). Typed mapPartitions keeps codec state per-partition.
+    * re-encode at the new dims. png/bmp/jpeg payloads that the JDK's
+    * own codecs can decode take the REAL raster path (javax.imageio
+    * decode → bilinear Graphics2D scale → imageio encode — present in
+    * every stock JVM, no extra dependency); payloads imageio cannot
+    * decode (synthetic fixtures, truncated files) plus tiff/webp (no
+    * stock JDK codec) fall back to REBUILDING a spec-correct container
+    * of the same family at the new dims with an every-k-th-byte
+    * decimated body (k = area shrink factor) — the right data-volume
+    * shape, clearly not interpolation, and the header parsers re-read
+    * it. Note the real path may normalize the pixel format (e.g. a
+    * palette png re-encodes as rgb/argb), as real resizes do. Audio,
+    * already-fitting images, and unknown payloads pass through
+    * unchanged (same soft-fail contract as decode). Typed
+    * mapPartitions keeps codec state per-partition.
     */
   def resize(df: DataFrame, idCol: String, payloadCol: String,
       maxW: Int, maxH: Int): DataFrame = {
@@ -353,6 +357,11 @@ object Media {
     if (!isImage) return bytes
     val (rw, rh) = fitDims(m.width, m.height, maxW, maxH)
     if (rw == m.width && rh == m.height) return bytes
+    if (m.kind == "png" || m.kind == "bmp" || m.kind == "jpeg")
+      imageIoResize(bytes, m.kind, rw, rh) match {
+        case Some(out) => return out
+        case None      => () // not a real raster — rebuild-stub below
+      }
     // clamp BEFORE the Long->Int narrowing: a corrupt header claiming a
     // 2^24 x 2^24 canvas makes the area ratio 2^36, whose toInt wraps
     // to 0 (divide-by-zero) or negative — one bad blob must not kill
@@ -367,6 +376,42 @@ object Media {
       case "tiff" => tiffBytes(rw, rh, m.channels, body)
       case _      => webpBytes(rw, rh, m.channels == 4, body)
     }
+  }
+
+  /** Real raster resize through the JDK's stock codecs: decode with
+    * javax.imageio, scale with a bilinear Graphics2D draw, re-encode in
+    * the same family. Returns None when imageio cannot decode the
+    * payload (synthetic header-only fixtures, corrupt bodies) or the
+    * family's writer refuses the frame — callers fall back to the
+    * container-rebuild stub, preserving the one-bad-blob-cannot-kill-
+    * the-job contract. bmp/jpeg writers take no alpha channel, so only
+    * png keeps ARGB.
+    */
+  private[graft] def imageIoResize(bytes: Array[Byte], kind: String,
+      rw: Int, rh: Int): Option[Array[Byte]] = {
+    import java.awt.RenderingHints
+    import java.awt.image.BufferedImage
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val outType =
+          if (kind == "png" && img.getColorModel.hasAlpha)
+            BufferedImage.TYPE_INT_ARGB
+          else BufferedImage.TYPE_3BYTE_BGR
+        val dst = new BufferedImage(rw, rh, outType)
+        val g = dst.createGraphics()
+        try {
+          g.setRenderingHint(RenderingHints.KEY_INTERPOLATION,
+            RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, rw, rh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        if (javax.imageio.ImageIO.write(dst, kind, bos)) Some(bos.toByteArray)
+        else None
+      }
+    } catch { case _: Exception => None }
   }
 
   /** Frame sampling: explode a payload into every-`everyK`-th frame row

@@ -194,6 +194,37 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.resizeOne(junk, 64, 64) eq junk)
   }
 
+  test("imageio resize preserves pixel content on a known gradient") {
+    import java.awt.image.BufferedImage
+    val (w, h) = (128, 64)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until h; x <- 0 until w)
+      img.setRGB(x, y,
+        ((x * 255 / (w - 1)) << 16) | ((y * 255 / (h - 1)) << 8) | 128)
+    for ((fmt, tol) <- Seq(("png", 8), ("bmp", 8), ("jpeg", 24))) {
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, fmt, bos))
+      val resized = Media.resizeOne(bos.toByteArray, 32, 32)
+      val m = Media.decode("g", resized)
+      assert((m.kind, m.width, m.height) == (fmt, 32, 16), fmt)
+      val out = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(resized))
+      assert(out.getWidth == 32 && out.getHeight == 16, fmt)
+      // interior pixels must track the linear gradients: red follows x,
+      // green follows y, blue is constant — a decimation stub (or any
+      // body-shuffling fake) cannot satisfy this
+      for (y <- 1 until 15; x <- 1 until 31) {
+        val rgb = out.getRGB(x, y)
+        val (r, g, b) = ((rgb >> 16) & 0xFF, (rgb >> 8) & 0xFF, rgb & 0xFF)
+        assert(math.abs(r - x * 4 * 255.0 / (w - 1)) <= tol,
+          s"$fmt red at ($x,$y)=$r")
+        assert(math.abs(g - y * 4 * 255.0 / (h - 1)) <= tol,
+          s"$fmt green at ($x,$y)=$g")
+        assert(math.abs(b - 128) <= tol, s"$fmt blue at ($x,$y)=$b")
+      }
+    }
+  }
+
   test("resize/frameSample/byteFeatures honor the soft-fail contract") {
     // corrupt header claiming a ~2^24 square canvas: the area ratio is
     // ~2^48/2^12, whose unclamped Long->Int narrowing wraps to 0 and
