@@ -209,14 +209,27 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // two-level combine: partials per (lang, doc_id-range block) then a
+    // final merge of block strings in block order — semantically equal
+    // to one global sorted concat (ids are unique, blocks are ordered,
+    // empty blocks emit no row) but no single reducer ever holds the
+    // corpus as a struct array; the final stage sees one bounded string
+    // per block. The OUTPUT row is still corpus-sized by construction —
+    // that is this demo query's contract, not an operator property
+    // (the X2 operator itself is per-doc page combine, bounded).
     "x2_combine_by_lang" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
         .select($"lang", $"doc_id", TextFunctions.normText($"text").as("nt"))
-        .groupBy($"lang")
+        .withColumn("blk", expr(s"doc_id div $X2Block"))
+        .groupBy($"lang", $"blk")
         .agg(array_join(
           transform(array_sort(collect_list(struct($"doc_id", $"nt"))),
-            x => x.getField("nt")), "\n\n").as("combined"))
+            x => x.getField("nt")), "\n\n").as("part"))
+        .groupBy($"lang")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct($"blk", $"part"))),
+            x => x.getField("part")), "\n\n").as("combined"))
         .orderBy($"lang")
     }),
 
@@ -447,9 +460,10 @@ object SparkEntry {
     "m2_media_pipeline" -> ((s, dir) => {
       import s.implicits._
       // one container build feeds both branches (resize→meta and the
-      // frame counter) — the house multi-consumer pattern
+      // frame counter) — the house multi-consumer pattern; the
+      // materialization level is an explicit knob (see M2PayloadStorage)
       val payload = Media.withPayload(t(s, dir, "documents"), "text")
-        .localCheckpoint()
+        .persist(M2PayloadStorage)
       val meta = Media.extractMeta(
           Media.resize(payload, "doc_id", "payload", 64, 64),
           "doc_id", "payload")
@@ -696,6 +710,23 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // S2/S3/S4: the REAL distributed pipeline (flatten → dispatch →
+    // reassemble, the same Pipeline.extract p1 runs) over a span mix
+    // that is pure doc_id arithmetic — so the pipeline's CARDINALITY
+    // contract (survivor count, input count, empty-doc row, success)
+    // gets a closed-form DuckDB hash gate even though p1's generated
+    // span text cannot. Complements p1 (rows+digest) per the contract.
+    "p5_pipeline_cardinality" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id").as[Long]
+        .map(d => graft.data.QueryFixtures.pipelineDoc(d))
+      Pipeline.extract(docs, graft.model.ExtractConfig(partitions = 8))
+        .toDF()
+        .select($"doc_id", size($"spans").cast("long").as("n_spans"),
+          $"spans_in".cast("long").as("spans_in"), $"success")
+        .orderBy($"doc_id")
+    }),
+
     // S1/F1/S8/S9/X12/O6/F3: constructed spans routed through the REAL
     // dispatch (image → normalize + media_ref passthrough, unknown kind
     // → whitelist reject to ""), reassembled with the pipeline survivor
@@ -720,6 +751,17 @@ object SparkEntry {
   private[graft] val S3TargetBucket = 125
   private[graft] val S3MaxBucket = 500
   private[graft] val D4MaxBucket = 500
+  // x2 partial-combine block width in doc_id space: ids are unique, so
+  // a block holds at most this many docs regardless of corpus size
+  private[graft] val X2Block = 4096
+  // m2's two-consumer payload materialization level. MEMORY_AND_DISK
+  // (not localCheckpoint) is the 100-TB setting: partitions spill to
+  // disk instead of evicting-and-failing, and lost executors recompute
+  // from lineage instead of killing the job. Gate-scale runs fit in
+  // memory either way, so the choice is free here and explicit for
+  // cluster deployments.
+  private[graft] val M2PayloadStorage =
+    org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
 
   /** The exact near-dup pair table shared by d2 (which outputs it) and
     * d5 (which clusters it) — one definition so the two queries and the
@@ -1342,6 +1384,22 @@ object SparkEntry {
                 ELSE '' END
            || chr(10) || chr(10) || 'f end' AS text
          FROM documents, w ORDER BY doc_id""",
+
+    // Closed-form cardinality prediction: span j of doc d is kept iff
+    // (d+j)%4 in {0,1}; the count of j in [0,n) with (d+j)%4 = a is
+    // (n - first + 3) // 4 where first = (a - d%4 + 4) % 4 (non-negative
+    // for n >= 0 since first <= 3)
+    "p5_pipeline_cardinality" ->
+      """WITH p AS (
+           SELECT doc_id AS d,
+             CASE WHEN doc_id % 29 = 0 THEN 0 ELSE 1 + doc_id % 5 END AS n
+           FROM documents)
+         SELECT printf('p5-%08d', d) AS doc_id,
+           ((n - ((0 - d % 4 + 4) % 4) + 3) // 4
+             + (n - ((1 - d % 4 + 4) % 4) + 3) // 4) AS n_spans,
+           n AS spans_in,
+           TRUE AS success
+         FROM p ORDER BY doc_id""",
 
     // All four r1 sink strings rebuilt from the d%4 construction: the
     // unknown-kind span never renders (F1), the d%4==3 image span

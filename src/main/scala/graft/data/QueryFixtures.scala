@@ -2,7 +2,7 @@ package graft.data
 
 import graft.extract.{Extractor, Zones}
 import graft.functions.TextFunctions
-import graft.model.{ExtractedDoc, OutFormat, OutSpan, SpanRow}
+import graft.model.{Doc, ExtractedDoc, OutFormat, OutSpan, Span, SpanRow}
 import graft.Renderer
 
 /** Deterministic fixtures behind the driver-oracled queries z1 / t6 / r1.
@@ -172,6 +172,39 @@ object QueryFixtures {
     *     the short survivor skips truncation entirely.
     * Returns (doc_id, markdown, html, plain, excerpt).
     */
+  /** p5 kernel: a Doc whose span mix is pure doc_id arithmetic, fed to
+    * the REAL distributed pipeline (flatten → dispatch → reassemble —
+    * unlike r1, which exercises the kernels driver-side) so the
+    * pipeline's cardinality contract (n_spans / spans_in / success)
+    * gets a closed-form oracle:
+    *   - d % 29 == 0 → empty doc (spans_in = 0, n_spans = 0, and the
+    *     explode_outer empty-doc row must still surface);
+    *   - else n = 1 + d % 5 spans; span j's branch by (d + j) % 4:
+    *       0 → pdf "W@0,0;W@60,0" → "W W"        (kept)
+    *       1 → image PdfWord + media_ref          (kept — normalize
+    *           is identity on the clean word list)
+    *       2 → image whitespace → ""              (dropped, F3)
+    *       3 → kind "bin" → whitelist reject      (dropped, F1)
+    * so n_spans = |{j in [0,n) : (d+j)%4 ∈ {0,1}}| and success is
+    * always true (no branch throws).
+    */
+  def pipelineDoc(d: Long): Doc = {
+    val id = f"p5-$d%08d"
+    if (d % 29 == 0) Doc(id, Seq.empty)
+    else {
+      val n = 1 + (d % 5).toInt
+      Doc(id, (0 until n).map { j =>
+        val w = PdfWords(((d + j) % 8).toInt)
+        ((d + j) % 4).toInt match {
+          case 0 => Span("pdf", s"$w@0,0;$w@60,0", null, j + 1)
+          case 1 => Span("image", w, s"media://$id/$j", j + 1)
+          case 2 => Span("image", "  \n \t ", null, j + 1)
+          case _ => Span("bin", "junk", null, j + 1)
+        }
+      })
+    }
+  }
+
   def renderRow(d: Long): (Long, String, String, String, String) = {
     val aText = (d % 4) match {
       case 0 => "V4lue one\n\nline2"

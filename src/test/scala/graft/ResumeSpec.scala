@@ -114,6 +114,46 @@ class ResumeSpec extends AnyFunSuite {
     assert(old.count() == 2)
   }
 
+  test("type evolution: int->long widening in the same bucket conforms " +
+      "reads to the tracked schema; time travel sees the int") {
+    import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-snap6").toString
+    val store = new SnapshotStore(root)
+    // snapshot 1: bucket 0 with n tracked (and physically written) as INT
+    val v1 = Seq((1L, 7), (2L, 8)).toDF("doc_id", "n")
+    val (d0, a0) = store.newWriteDirs(0)
+    v1.write.parquet(d0)
+    v1.limit(0).write.parquet(a0)
+    store.commit(0, d0, a0, 2L, v1.schema.json)
+    // snapshot 2: a later writer declares the tracked schema widened to
+    // LONG while every committed file stays physically int32 — logical
+    // widening without a rewrite, the case Job.readData's read-side
+    // cast exists for. (Writing the new bucket's files as int64 would
+    // instead hit parquet mergeSchema's physical-type conflict — the
+    // documented needs-a-rewrite case; bucket recommits are rejected by
+    // the duplicate-partition guard.)
+    val widened = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n", LongType)))
+    val v2 = Seq((3L, 9)).toDF("doc_id", "n")
+    val (d1, a1) = store.newWriteDirs(1)
+    v2.write.parquet(d1)
+    v2.limit(0).write.parquet(a1)
+    store.commit(1, d1, a1, 1L, widened.json)
+
+    val latest = Job.readData(spark, new SnapshotStore(root))
+    assert(latest.schema("n").dataType == LongType,
+      "read must conform to the tracked (widened) type, not the footer type")
+    assert(latest.orderBy("doc_id").collect()
+      .map(_.getLong(1)).toSeq == Seq(7L, 8L, 9L))
+
+    val old = Job.readData(spark, store, snapshotId = Some(1L))
+    assert(old.schema("n").dataType == IntegerType,
+      "time travel must see the pre-widening schema")
+    assert(old.orderBy("doc_id").collect()
+      .map(_.getInt(1)).toSeq == Seq(7, 8))
+  }
+
   test("torn newest snapshot: readers fall back to the previous commit") {
     val root = Files.createTempDirectory("graft-snap5").toString
     val store = new SnapshotStore(root)
