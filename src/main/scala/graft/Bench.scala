@@ -44,6 +44,93 @@ object Bench {
   private val CorpusDir =
     sys.env.getOrElse("SPARK_GRAFT_BENCH_CORPUS", "/tmp/graft-bench-corpus")
 
+  // -------------------------------------------- adversarial-skew sideline
+  // (object-level kernels: local defs inside main would capture the
+  // enclosing frame and break task serialization)
+
+  /** Deterministic uniform in [-1, 1) from a seed (SplitMix-style). */
+  private[graft] def skewU(s: Long): Float = {
+    val z = s * 0x9E3779B97F4A7C15L
+    ((z >>> 11).toDouble / 4503599627370496.0 - 1.0).toFloat
+  }
+
+  private[graft] def skewMix(z0: Long): Long = {
+    var z = z0 + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
+  private val SkewDim = 16
+  private val SkewN = 50000L
+  private val SkewHub = 5000L
+
+  /** Skew-corpus vector: ids < SkewHub share a direction plus noise
+    * (pairwise cos ~0.6 — crowds LSH buckets without being true
+    * near-dups), the rest are uniform background.
+    */
+  private[graft] def skewVec(i: Long): Seq[Float] = {
+    val out = new Array[Float](SkewDim)
+    var d = 0
+    while (d < SkewDim) {
+      out(d) =
+        if (i < SkewHub) skewU(999L * SkewDim + d) + 0.8f * skewU((i + 3L) * SkewDim + d)
+        else skewU((i + 77L) * SkewDim + d)
+      d += 1
+    }
+    out.toSeq
+  }
+
+  /** Skew-corpus SimHash signature: ids < 4000 share bits 0-15 exactly
+    * but are random elsewhere (pure blocking-collision hub), rest
+    * random.
+    */
+  private[graft] def skewSig(i: Long): Long =
+    if (i < 4000L) (skewMix(i ^ 0x68bL) & 0xFFFFFFFFFFFF0000L) | 0xABCDL
+    else skewMix(i ^ 0xb6L)
+
+  /** Untimed adversarial-skew sideline: candidate-pair volumes for the
+    * s3 (cosine LSH) and d4 (SimHash) skew defenses with the re-split
+    * off vs on, over synthetic dense-hub corpora — the skew guarantees
+    * as measured numbers in the artifact rather than only spec
+    * assertions. Zeroed (never throwing) on failure.
+    */
+  private[graft] def skewSideline(spark: SparkSession): Seq[(String, Double)] = {
+    import spark.implicits._
+    import graft.operators.{Dedup, Similarity}
+    try {
+      val vecs = spark.range(SkewN).map(i => (i, skewVec(i)))
+        .toDF("vec_id", "embedding")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val planes = Similarity.sizePlanes(SkewN, targetBucket = 125)
+      def s3Cands(cap: Int): Double =
+        Similarity.candidatePairs(vecs, "embedding", "vec_id",
+          planes, tables = 8, maxBucket = cap).count().toDouble
+      val s3Off = s3Cands(0)
+      val s3On = s3Cands(500)
+      vecs.unpersist()
+      val sigs = spark.range(100000L).map(i => (i, skewSig(i)))
+        .toDF("doc_id", "sig")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      def d4Cands(cap: Int): Double =
+        Dedup.simhashCandidates(sigs, maxHamming = 3, maxBucket = cap)
+          .count().toDouble
+      val d4Off = d4Cands(0)
+      val d4On = d4Cands(500)
+      sigs.unpersist()
+      Seq("skew_s3_candidates_nosplit" -> s3Off,
+        "skew_s3_candidates_resplit" -> s3On,
+        "skew_d4_candidates_nosplit" -> d4Off,
+        "skew_d4_candidates_resplit" -> d4On)
+    } catch {
+      case _: Throwable =>
+        Seq("skew_s3_candidates_nosplit" -> 0.0,
+          "skew_s3_candidates_resplit" -> 0.0,
+          "skew_d4_candidates_nosplit" -> 0.0,
+          "skew_d4_candidates_resplit" -> 0.0)
+    }
+  }
+
   private def session(cores: Int): SparkSession =
     sessionFor(s"local[$cores]", cores * 2)
 
@@ -395,7 +482,9 @@ object Bench {
     sharedClusters.foreach(_.unpersist())
     sharedPairs.foreach(_.unpersist())
     val total = results.map(_._2).sum
-    val qs = (results ++ scaling)
+    // untimed: the skew defenses as measured candidate volumes
+    val skew = skewSideline(spark)
+    val qs = (results ++ scaling ++ skew)
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val line =
