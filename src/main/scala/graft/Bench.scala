@@ -134,6 +134,9 @@ object Bench {
   private def session(cores: Int): SparkSession =
     sessionFor(s"local[$cores]", cores * 2)
 
+  /** Dev-probe access to the bench's session shape (graft.RawScale). */
+  private[graft] def sessionForDev(cores: Int): SparkSession = session(cores)
+
   private def sessionFor(master: String, parts: Int): SparkSession = {
     val classes = // executor classpath for local-cluster executor JVMs
       getClass.getProtectionDomain.getCodeSource.getLocation.getPath
@@ -189,7 +192,7 @@ object Bench {
   }
 
   /** Materialize the bench corpus parquet once (untimed setup). */
-  private def ensureCorpus(): Unit = {
+  private[graft] def ensureCorpus(): Unit = {
     if (Files.exists(Paths.get(CorpusDir, "_SUCCESS"))) {
       val s = session(32)
       val ok = try s.read.parquet(CorpusDir).count() == ExtractDocs
@@ -211,7 +214,7 @@ object Bench {
   }
 
   /** One timed extraction run (docs/sec) at a core count. */
-  private def extractionTrials(cores: Int, trials: Int): Seq[Double] = {
+  private[graft] def extractionTrials(cores: Int, trials: Int): Seq[Double] = {
     val spark = session(cores)
     import spark.implicits._
     val cfg = ExtractConfig(partitions = cores * 2)

@@ -28,11 +28,6 @@ package graft.extract
   */
 object Normalizer {
 
-  private val digitToUpper: Map[Char, Char] =
-    Map('0' -> 'O', '1' -> 'I', '3' -> 'E', '4' -> 'A', '7' -> 'T')
-  private val digitToLower: Map[Char, Char] =
-    Map('0' -> 'o', '1' -> 'l', '3' -> 'e', '4' -> 'a', '7' -> 't')
-
   /** The letters the noise injector may have produced from (inverse map),
     * exposed for the corpus generator (graft.data.CorpusGen).
     */
@@ -46,13 +41,28 @@ object Normalizer {
   private def isDigit(c: Char): Boolean = c >= '0' && c <= '9'
 
   /** Pure number: optional +/- sign, then digits with '.'/',' group
-    * separators ("247.8", "1,234.56", "-3").
+    * separators ("247.8", "1,234.56", "-3"). Index-based — this runs
+    * once per token of every OCR span, so it must not allocate.
     */
   private[extract] def isNumberToken(tok: String): Boolean = {
-    val body = if (tok.nonEmpty && (tok.head == '+' || tok.head == '-')) tok.tail else tok
-    body.nonEmpty && body.head.isDigit && body.last.isDigit &&
-      body.forall(c => isDigit(c) || c == '.' || c == ',') &&
-      !body.sliding(2).exists(p => p.length == 2 && !isDigit(p.head) && !isDigit(p(1)))
+    val start =
+      if (tok.nonEmpty && (tok.charAt(0) == '+' || tok.charAt(0) == '-')) 1
+      else 0
+    val n = tok.length
+    if (start >= n) return false
+    if (!isDigit(tok.charAt(start)) || !isDigit(tok.charAt(n - 1))) return false
+    var i = start
+    var prevSep = false // two adjacent non-digits ('.'/',') disqualify
+    while (i < n) {
+      val c = tok.charAt(i)
+      if (isDigit(c)) prevSep = false
+      else if (c == '.' || c == ',') {
+        if (prevSep) return false
+        prevSep = true
+      } else return false
+      i += 1
+    }
+    true
   }
 
   /** Repair one whitespace-delimited token. Leading/trailing punctuation
@@ -86,16 +96,24 @@ object Normalizer {
       i += 1
     }
     if (letters == 0) return core // symbol/digit soup that is not a number: leave it
-    val table = if (uppers * 2 > letters) digitToUpper else digitToLower
+    // branch tables inline (a Map lookup would box every Char — this is
+    // the innermost per-character loop of the OCR route)
+    val upper = uppers * 2 > letters
     var changed = false
     val sb = new java.lang.StringBuilder(core.length)
     i = 0
     while (i < core.length) {
       val c = core(i)
-      table.get(c) match {
-        case Some(r) => sb.append(r); changed = true
-        case None    => sb.append(c)
+      val r = c match {
+        case '0' => if (upper) 'O' else 'o'
+        case '1' => if (upper) 'I' else 'l'
+        case '3' => if (upper) 'E' else 'e'
+        case '4' => if (upper) 'A' else 'a'
+        case '7' => if (upper) 'T' else 't'
+        case other => other
       }
+      if (r != c) changed = true
+      sb.append(r)
       i += 1
     }
     if (changed) sb.toString else core
@@ -103,10 +121,21 @@ object Normalizer {
 
   /** Repair confusions in a single line (token-by-token, whitespace kept
     * by re-splitting on single spaces after canonicalization happens at
-    * the line level).
+    * the line level). Fast path: repairs only ever touch the digits
+    * 0/1/3/4/7, so a line without any of them is returned as-is —
+    * most clean lines skip the split/rebuild entirely.
     */
-  private def repairLine(line: String): String =
-    line.split(' ').iterator.map(repairToken).mkString(" ")
+  private def repairLine(line: String): String = {
+    var i = 0
+    var hasRepairable = false
+    while (i < line.length && !hasRepairable) {
+      val c = line.charAt(i)
+      hasRepairable = c == '0' || c == '1' || c == '3' || c == '4' || c == '7'
+      i += 1
+    }
+    if (!hasRepairable) line
+    else line.split(' ').iterator.map(repairToken).mkString(" ")
+  }
 
   /** Full normalization: whitespace canonicalization + confusion repair.
     * Returns "" when nothing survives (span will be dropped at
@@ -136,8 +165,25 @@ object Normalizer {
     paras.mkString("\n\n")
   }
 
-  /** Trim + collapse runs of spaces/tabs/CR to a single space. */
+  /** Trim + collapse runs of spaces/tabs/CR to a single space. Returns
+    * the SAME string when it is already canonical (no leading/trailing
+    * space, no runs, no tab/CR/VT/FF) — the common case for clean text,
+    * and this runs once per line of every span.
+    */
   private[extract] def collapseWs(s: String): String = {
+    var i0 = 0
+    var canonical = s.isEmpty || (s.charAt(0) != ' ' && s.charAt(s.length - 1) != ' ')
+    var prevSpace = false
+    while (canonical && i0 < s.length) {
+      val c = s.charAt(i0)
+      if (c == '\t' || c == '\r' || c == '\u000B' || c == '\f') canonical = false
+      else if (c == ' ') {
+        if (prevSpace) canonical = false
+        prevSpace = true
+      } else prevSpace = false
+      i0 += 1
+    }
+    if (canonical) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingSpace = false

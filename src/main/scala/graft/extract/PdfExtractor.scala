@@ -115,16 +115,22 @@ object PdfExtractor {
 
   /** Largest uncovered gap strictly inside [lo, hi] of the projected
     * intervals. Returns (gapStart, gapWidth) of the widest gap, or null.
+    * Intervals arrive packed (start << 32 | end-as-unsigned) in one
+    * primitive long array — this runs twice per XY-cut node, and a
+    * tuple array would box every endpoint. Signed long order equals
+    * (start, end) lexicographic order because starts sharing a sign
+    * compare by the high word first; coordinates are span-local ints.
     */
-  private def widestGap(intervals: Array[(Int, Int)]): (Int, Int) = {
+  private def widestGap(packed: Array[Long]): Long = {
     // intervals sorted by start; merge, track gaps between merged runs
-    java.util.Arrays.sort(intervals, Ordering.by((p: (Int, Int)) => p._1))
+    java.util.Arrays.sort(packed)
     var bestStart = 0
     var bestW = -1
-    var curEnd = intervals(0)._2
+    var curEnd = packed(0).toInt
     var i = 1
-    while (i < intervals.length) {
-      val (s, e) = intervals(i)
+    while (i < packed.length) {
+      val s = (packed(i) >> 32).toInt
+      val e = packed(i).toInt
       if (s > curEnd) {
         val w = s - curEnd
         if (w > bestW) { bestW = w; bestStart = curEnd }
@@ -132,7 +138,27 @@ object PdfExtractor {
       if (e > curEnd) curEnd = e
       i += 1
     }
-    if (bestW <= 0) null else (bestStart, bestW)
+    if (bestW <= 0) -1L else (bestStart.toLong << 32) | (bestW.toLong & 0xFFFFFFFFL)
+  }
+
+  private def packY(toks: Array[Tok]): Array[Long] = {
+    val a = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      a(i) = (toks(i).y.toLong << 32) | (toks(i).y2.toLong & 0xFFFFFFFFL)
+      i += 1
+    }
+    a
+  }
+
+  private def packX(toks: Array[Tok]): Array[Long] = {
+    val a = new Array[Long](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      a(i) = (toks(i).x.toLong << 32) | (toks(i).x2.toLong & 0xFFFFFFFFL)
+      i += 1
+    }
+    a
   }
 
   /** Recursion-depth cap: pathological layouts (alternating single-token
@@ -147,20 +173,22 @@ object PdfExtractor {
       depth: Int = 0): Unit = {
     if (toks.isEmpty) return
     if (toks.length > 1 && depth < MaxDepth) {
-      val yGap = widestGap(toks.map(t => (t.y, t.y2)))
-      val xGap = widestGap(toks.map(t => (t.x, t.x2)))
-      val cutY = yGap != null && yGap._2 >= MinGapY
-      val cutX = xGap != null && xGap._2 >= MinGapX
-      if (cutY && (!cutX || yGap._2 >= xGap._2)) {
+      val yGap = widestGap(packY(toks))
+      val xGap = widestGap(packX(toks))
+      val yW = if (yGap == -1L) -1 else yGap.toInt
+      val xW = if (xGap == -1L) -1 else xGap.toInt
+      val cutY = yGap != -1L && yW >= MinGapY
+      val cutX = xGap != -1L && xW >= MinGapX
+      if (cutY && (!cutX || yW >= xW)) {
         // horizontal cut: top region first
-        val mid = yGap._1 + yGap._2 / 2
+        val mid = (yGap >> 32).toInt + yW / 2
         val (top, bot) = toks.partition(_.y2 <= mid)
         if (top.nonEmpty && bot.nonEmpty) {
           xyCut(top, out, depth + 1); xyCut(bot, out, depth + 1); return
         }
       }
       if (cutX) {
-        val mid = xGap._1 + xGap._2 / 2
+        val mid = (xGap >> 32).toInt + xW / 2
         val (left, right) = toks.partition(_.x2 <= mid)
         if (left.nonEmpty && right.nonEmpty) {
           xyCut(left, out, depth + 1); xyCut(right, out, depth + 1); return
@@ -173,8 +201,22 @@ object PdfExtractor {
   /** Render one leaf block: reference ordering (y/50, x, idx); tokens of
     * one line join with " ", lines join with "\n".
     */
+  private val blockOrder: java.util.Comparator[Tok] =
+    new java.util.Comparator[Tok] {
+      override def compare(a: Tok, b: Tok): Int = {
+        // floorDiv matches Scala's Int./ only for non-negative y; use
+        // the same truncating division sortBy compiled to
+        val ba = a.y / LineBucket
+        val bb = b.y / LineBucket
+        if (ba != bb) Integer.compare(ba, bb)
+        else if (a.x != b.x) Integer.compare(a.x, b.x)
+        else Integer.compare(a.idx, b.idx)
+      }
+    }
+
   private def renderBlock(toks: Array[Tok]): String = {
-    val sorted = toks.sortBy(t => (t.y / LineBucket, t.x, t.idx))
+    val sorted = toks.clone()
+    java.util.Arrays.sort(sorted, blockOrder)
     val sb = new java.lang.StringBuilder
     var curBucket = Int.MinValue
     var first = true
