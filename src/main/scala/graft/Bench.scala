@@ -54,12 +54,8 @@ object Bench {
     ((z >>> 11).toDouble / 4503599627370496.0 - 1.0).toFloat
   }
 
-  private[graft] def skewMix(z0: Long): Long = {
-    var z = z0 + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^ (z >>> 31)
-  }
+  private[graft] def skewMix(z0: Long): Long =
+    CorpusGen.mix64(z0 + 0x9E3779B97F4A7C15L)
 
   private val SkewDim = 16
   private val SkewN = 50000L

@@ -58,8 +58,14 @@ object RawScale {
     Bench.ensureCorpus()
     trial(16, stage) // global warm
     val ratios = (1 to reps).map { r =>
-      val t4 = trial(4, stage)
-      val t16 = math.max(trial(16, stage), trial(16, stage))
+      // symmetric best-of-2 on BOTH sides, interleaved 4/16/4/16 — a
+      // lopsided max-of-2 on one side alone biases E[ratio] upward and
+      // would credit part of that bias to whatever A/B treatment the
+      // probe is being used to judge
+      val a4 = trial(4, stage); val a16 = trial(16, stage)
+      val b4 = trial(4, stage); val b16 = trial(16, stage)
+      val t4 = math.max(a4, b4)
+      val t16 = math.max(a16, b16)
       val ratio = (t16 / t4) / 4.0
       println(f"[rawscale] stage=$stage rep=$r thr4=$t4%.0f thr16=$t16%.0f raw=$ratio%.3f")
       ratio

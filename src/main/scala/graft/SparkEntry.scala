@@ -214,13 +214,18 @@ object SparkEntry {
     // to one global sorted concat (ids are unique, blocks are ordered,
     // empty blocks emit no row) but no single reducer ever holds the
     // corpus as a struct array; the final stage sees one bounded string
-    // per block. The OUTPUT row is still corpus-sized by construction —
-    // that is this demo query's contract, not an operator property
-    // (the X2 operator itself is per-doc page combine, bounded).
+    // per block. Null text must be dropped BEFORE blocking: a global
+    // collect_list skips nulls wherever they fall, but a block holding
+    // only nulls would collect an empty array and emit an empty part —
+    // an extra "\n\n" the single-level semantics never produce. The
+    // OUTPUT row is still corpus-sized by construction — that is this
+    // demo query's contract, not an operator property (the X2 operator
+    // itself is per-doc page combine, bounded).
     "x2_combine_by_lang" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents")
         .select($"lang", $"doc_id", TextFunctions.normText($"text").as("nt"))
+        .filter($"nt".isNotNull)
         .withColumn("blk", expr(s"doc_id div $X2Block"))
         .groupBy($"lang", $"blk")
         .agg(array_join(
@@ -464,6 +469,12 @@ object SparkEntry {
       // materialization level is an explicit knob (see M2PayloadStorage)
       val payload = Media.withPayload(t(s, dir, "documents"), "text")
         .persist(M2PayloadStorage)
+      // materialize the cache with one action BEFORE the join consumes
+      // it: the resize and frame-count branches are sibling stages of
+      // the same job, and a lazy persist would let both compute the
+      // container build concurrently on cold cache — build-once is the
+      // whole point of the shared payload
+      payload.count()
       val meta = Media.extractMeta(
           Media.resize(payload, "doc_id", "payload", 64, 64),
           "doc_id", "payload")

@@ -20,16 +20,27 @@ import scala.collection.mutable.ArrayBuffer
   */
 object CorpusGen {
 
+  /** The SplitMix64 finalizer (Steele et al., OOPSLA 2014) — THE mixing
+    * function of this codebase, shared by Rng, the similarity plane
+    * generator, and the bench's skew-corpus generator so the constant
+    * triple lives in exactly one place. Callers add the golden-ratio
+    * gamma to their state/stream position themselves (each seeds
+    * differently).
+    */
+  def mix64(z0: Long): Long = {
+    var z = z0
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+
   /** SplitMix64 — public-domain PRNG (Steele et al., OOPSLA 2014);
     * splittable by construction: state = f(seed, docIndex).
     */
   final class Rng(private var s: Long) {
     def nextLong(): Long = {
       s += 0x9E3779B97F4A7C15L
-      var z = s
-      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-      z ^ (z >>> 31)
+      mix64(s)
     }
     def nextInt(n: Int): Int = java.lang.Math.floorMod(nextLong(), n.toLong).toInt
     def nextDouble(): Double = (nextLong() >>> 11) * 1.1102230246251565e-16

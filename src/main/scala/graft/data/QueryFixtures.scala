@@ -157,21 +157,8 @@ object QueryFixtures {
       graft.extract.HtmlExtractor.extract(html, markdown = true))
   }
 
-  // ------------------------------------------------------------ r1 render
+  // ------------------------------------------------------------ p5 pipeline
 
-  /** r1 kernel: three constructed spans routed through the REAL
-    * dispatch (`Extractor.extractSpan` — image spans normalize + keep
-    * media_ref, unknown kinds are rejected to ""), reassembled with the
-    * pipeline's survivor rule (non-empty text, 0-based order), then
-    * rendered by all three sinks plus the context truncation:
-    *   - d%4==0: first span has a paragraph break (html <p> split +
-    *     excerpt cuts at a late newline);
-    *   - d%4==1: long first line (excerpt hard-cuts mid-line);
-    *   - d%4==2: line exactly at the newline threshold;
-    *   - d%4==3: second image span normalizes to "" and is DROPPED, and
-    *     the short survivor skips truncation entirely.
-    * Returns (doc_id, markdown, html, plain, excerpt).
-    */
   /** p5 kernel: a Doc whose span mix is pure doc_id arithmetic, fed to
     * the REAL distributed pipeline (flatten → dispatch → reassemble —
     * unlike r1, which exercises the kernels driver-side) so the
@@ -205,6 +192,21 @@ object QueryFixtures {
     }
   }
 
+  // ------------------------------------------------------------ r1 render
+
+  /** r1 kernel: three constructed spans routed through the REAL
+    * dispatch (`Extractor.extractSpan` — image spans normalize + keep
+    * media_ref, unknown kinds are rejected to ""), reassembled with the
+    * pipeline's survivor rule (non-empty text, 0-based order), then
+    * rendered by all three sinks plus the context truncation:
+    *   - d%4==0: first span has a paragraph break (html <p> split +
+    *     excerpt cuts at a late newline);
+    *   - d%4==1: long first line (excerpt hard-cuts mid-line);
+    *   - d%4==2: line exactly at the newline threshold;
+    *   - d%4==3: second image span normalizes to "" and is DROPPED, and
+    *     the short survivor skips truncation entirely.
+    * Returns (doc_id, markdown, html, plain, excerpt).
+    */
   def renderRow(d: Long): (Long, String, String, String, String) = {
     val aText = (d % 4) match {
       case 0 => "V4lue one\n\nline2"

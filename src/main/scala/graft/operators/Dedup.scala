@@ -395,17 +395,24 @@ object Dedup {
     val w = math.max(2, 64 / segs.length)
 
     // depth-d segmentation offset: binary van der Corput (bit-reversal)
-    // fraction of the segment width — 0, w/2, w/4, 3w/4, w/8, ... —
-    // so every depth's boundaries sit maximally far from ALL previous
-    // depths' (a plain d*w/2 stride collapses to two alternating
-    // families mod w, leaving docs that share one segment per family
-    // co-bucketed forever)
+    // fraction mapped onto the NON-ZERO residues 1..w-1 — every depth's
+    // boundaries sit maximally far from all previous depths' (a plain
+    // d*w/2 stride collapses to two alternating families mod w), and no
+    // depth may reuse offset 0 or an earlier depth's offset: a repeated
+    // segmentation leaves one child segment bit-identical to a segment
+    // an ancestor bucket already agreed on, so that child reproduces
+    // the ENTIRE parent bucket and the re-split amplifies frontier rows
+    // instead of cutting them. With only w-1 distinct non-zero residues
+    // available, the loop depth is capped at w-1 (narrow segments —
+    // large maxHamming — simply stop re-splitting sooner; recall is
+    // unaffected, oversize buckets just pay their quadratic output).
     def rotOf(depth: Int): Int = {
+      if (depth == 0) return 0 // level 0 IS the canonical segmentation
       var frac = 0.0
       var d = depth
       var denom = 2.0
       while (d > 0) { frac += (d % 2) / denom; denom *= 2; d /= 2 }
-      (frac * w).toInt % 64
+      1 + (frac * (w - 1)).toInt
     }
 
     def explodeLevel(df: DataFrame, depth: Int): DataFrame = {
@@ -426,17 +433,27 @@ object Dedup {
     var frontier = explodeLevel(sigs.withColumn("bkey", lit(0L)), 0)
     if (maxBucket <= 0) frontier
     else {
-      frontier = frontier.localCheckpoint(true)
+      // MEMORY_AND_DISK persist, not localCheckpoint: each frontier is
+      // read by up to three consumers (oversize agg, anti join, next
+      // level) and the per-level over.count() below materializes the
+      // cache eagerly before any of them can race — but unlike
+      // checkpoint blocks, a persisted partition lost with its executor
+      // recomputes from lineage (depth-bounded here) instead of killing
+      // the job. Same reasoning as SparkEntry.M2PayloadStorage.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      frontier = frontier.persist(lvl)
       var done = List.empty[DataFrame]
       var depth = 1
+      // only w-1 distinct non-zero segmentation offsets exist (rotOf)
+      val depthCap = math.min(maxDepth, w - 1)
       var growing = true
-      while (growing && depth <= maxDepth) {
+      while (growing && depth <= depthCap) {
         // the oversize list is bounded by n/maxBucket keys — broadcast
         // it back instead of shuffling the frontier twice
         val over = frontier.groupBy("bkey").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket).select("bkey")
-          .localCheckpoint(true)
-        if (over.isEmpty) growing = false
+          .persist(lvl)
+        if (over.count() == 0) growing = false
         else {
           // using-column joins move the key FIRST in column order, and
           // union is positional — re-select before collecting parts
@@ -445,7 +462,7 @@ object Dedup {
           frontier =
             explodeLevel(frontier.join(broadcast(over), Seq("bkey"), "left_semi")
                 .select("doc_id", "sig", "bkey"), depth)
-              .localCheckpoint(true)
+              .persist(lvl)
           depth += 1
         }
       }

@@ -349,6 +349,17 @@ object Media {
   /** png channels → IHDR colorType (inverse of parsePng's mapping). */
   private val pngColorType = Map(1 -> 0, 2 -> 4, 3 -> 2, 4 -> 6)
 
+  /** Max source pixels the real imageio path will decode. ImageIO
+    * allocates the FULL source raster (4 bytes/pixel ARGB — 16M pixels
+    * is already 64 MB) before any output scaling, and an
+    * OutOfMemoryError is not an Exception — no soft-fail handler
+    * catches it. An over-budget (or header-forged) image must take the
+    * container-rebuild stub below instead of risking a task-killing
+    * allocation; the gate reads the dims our own header parse already
+    * produced, so no bytes are decoded to enforce it.
+    */
+  private[graft] val RasterPixelBudget = 16L << 20
+
   private[graft] def resizeOne(bytes: Array[Byte], maxW: Int,
       maxH: Int): Array[Byte] = {
     val m = decode("", bytes)
@@ -357,7 +368,8 @@ object Media {
     if (!isImage) return bytes
     val (rw, rh) = fitDims(m.width, m.height, maxW, maxH)
     if (rw == m.width && rh == m.height) return bytes
-    if (m.kind == "png" || m.kind == "bmp" || m.kind == "jpeg")
+    if ((m.kind == "png" || m.kind == "bmp" || m.kind == "jpeg") &&
+        m.width.toLong * m.height <= RasterPixelBudget)
       imageIoResize(bytes, m.kind, rw, rh) match {
         case Some(out) => return out
         case None      => () // not a real raster — rebuild-stub below

@@ -46,10 +46,8 @@ object Similarity {
     * oracle does, via HUGEINT split-multiplication).
     */
   def planeComponent(p: Int, i: Int): Double = {
-    var z = (p.toLong << 32) + i.toLong + 0x9E3779B97F4A7C15L
-    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
-    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
-    z ^= (z >>> 31)
+    val z = graft.data.CorpusGen.mix64(
+      (p.toLong << 32) + i.toLong + 0x9E3779B97F4A7C15L)
     (z >>> 11).toDouble / 4503599627370496.0 - 1.0
   }
 
