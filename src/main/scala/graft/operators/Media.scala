@@ -360,6 +360,14 @@ object Media {
     */
   private[graft] val RasterPixelBudget = 16L << 20
 
+  /** Whether a payload may enter the real imageio decode path: a JDK
+    * codec exists for the family AND the header-claimed raster fits the
+    * pixel budget.
+    */
+  private[graft] def rasterEligible(kind: String, w: Int, h: Int): Boolean =
+    (kind == "png" || kind == "bmp" || kind == "jpeg") &&
+      w.toLong * h <= RasterPixelBudget
+
   private[graft] def resizeOne(bytes: Array[Byte], maxW: Int,
       maxH: Int): Array[Byte] = {
     val m = decode("", bytes)
@@ -368,8 +376,7 @@ object Media {
     if (!isImage) return bytes
     val (rw, rh) = fitDims(m.width, m.height, maxW, maxH)
     if (rw == m.width && rh == m.height) return bytes
-    if ((m.kind == "png" || m.kind == "bmp" || m.kind == "jpeg") &&
-        m.width.toLong * m.height <= RasterPixelBudget)
+    if (rasterEligible(m.kind, m.width, m.height))
       imageIoResize(bytes, m.kind, rw, rh) match {
         case Some(out) => return out
         case None      => () // not a real raster — rebuild-stub below

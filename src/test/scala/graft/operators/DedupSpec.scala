@@ -136,6 +136,37 @@ class DedupSpec extends AnyFunSuite {
         s"extra=${capped -- want}")
   }
 
+  test("simhash re-split stays exact at narrow segments (maxHamming 16)") {
+    import spark.implicits._
+    // 17 segments of w=3 leave only two distinct non-zero boundary
+    // offsets — the re-split must cap its depth rather than reuse the
+    // canonical segmentation (a reused offset leaves a child bucket
+    // reproducing its whole parent, amplifying instead of splitting)
+    val docs = (0L until 30L).map { i =>
+      val base = "alpha beta gamma delta epsilon zeta eta theta iota " +
+        "kappa lambda mu nu xi omicron pi rho sigma tau upsilon"
+      val mut = base.split(" ").zipWithIndex.map { case (w, j) =>
+        if (j < i % 9) s"n${i}y$j" else w
+      }.mkString(" ")
+      (i, mut)
+    }.toDF("doc_id", "text")
+    val maxH = 16
+    val sigs = docs.collect().map { r =>
+      val toks = r.getString(1).toLowerCase.trim.split("\\s+")
+      (r.getLong(0), Dedup.simhash64(toks))
+    }
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = Dedup.hamming64(sa, sb) if h <= maxH
+    } yield (ia, ib, h)).toSet
+    assert(want.nonEmpty, "fixture must have close pairs")
+    val capped = Dedup.simhashNearDups(docs, "text", "doc_id", maxH,
+        maxBucket = 3, maxDepth = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(capped == want,
+      s"missing=${want -- capped} extra=${capped -- want}")
+  }
+
   /** Deterministic synthetic signature corpus: 100k fully random
     * background docs plus a planted dense hub of `hub` EXTRA docs that
     * share segment 0 (bits 0-15) exactly but are random in the other

@@ -225,6 +225,21 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("raster budget gate keeps forged huge headers out of imageio") {
+    // ImageIO allocates the FULL claimed raster before scaling, and an
+    // OutOfMemoryError bypasses the Exception soft-fail — so the gate
+    // must reject on the header dims alone, before any decode
+    assert(Media.rasterEligible("png", 4000, 4000))
+    assert(!Media.rasterEligible("png", 30000, 30000))
+    assert(!Media.rasterEligible("jpeg", Int.MaxValue, Int.MaxValue))
+    assert(!Media.rasterEligible("tiff", 10, 10)) // no JDK codec
+    // a decodable-kind payload whose header claims 9e8 pixels must take
+    // the rebuild stub: completes, resized dims parse back
+    val forged = Media.pngBytes(30000, 30000, 2, Array.fill(96)(7.toByte))
+    val out = Media.resizeOne(forged, 64, 64)
+    assert(Media.decode("f", out).width == 64)
+  }
+
   test("resize/frameSample/byteFeatures honor the soft-fail contract") {
     // corrupt header claiming a ~2^24 square canvas: the area ratio is
     // ~2^48/2^12, whose unclamped Long->Int narrowing wraps to 0 and
