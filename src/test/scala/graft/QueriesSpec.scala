@@ -32,6 +32,33 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("x2 two-level combine equals a global concat when a whole block is null") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // block 4096..8191 of lang "en" holds ONLY null text: a two-level
+    // combine that blocks before dropping nulls would collect an empty
+    // array there and splice an extra "\n\n" into the middle
+    val tmp = java.nio.file.Files.createTempDirectory("x2null").toString
+    Seq((10L, "en", "Alpha Text"), (4100L, "en", null),
+        (4200L, "en", null), (9000L, "en", "Beta Text"),
+        (20L, "fr", "Gamma"))
+      .toDF("doc_id", "lang", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("x2_combine_by_lang")(spark, tmp)
+      .as[(String, String)].collect().toMap
+    // single-level oracle: one global sorted collect_list (skips nulls)
+    val want = spark.read.parquet(s"$tmp/documents.parquet")
+      .select($"lang", $"doc_id",
+        graft.functions.TextFunctions.normText($"text").as("nt"))
+      .groupBy($"lang")
+      .agg(array_join(
+        transform(array_sort(collect_list(struct($"doc_id", $"nt"))),
+          x => x.getField("nt")), "\n\n").as("combined"))
+      .as[(String, String)].collect().toMap
+    assert(got == want)
+    assert(!got("en").contains("\n\n\n"), s"extra separator: ${got("en")}")
+  }
+
   test("media decode is deterministic and total") {
     val bytes = Media.pngBytes(20, 30, 2, "hello world".getBytes("UTF-8"))
     val m1 = Media.decode("x", bytes)
