@@ -277,6 +277,22 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // token-window chunking over the REAL corpus text: the sequence-
+    // prep op of a training pipeline (chunk to the context budget with
+    // overlap before packing). One generator-side explode, no shuffle;
+    // every chunk's boundary, count, and text must replay exactly in
+    // the oracle's list-slicing rendition.
+    "c1_token_chunks" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id",
+          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride))
+            .as("c"))
+        .select($"doc_id", $"c.chunk_idx", $"c.n_tok", $"c.chunk")
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     "t2_quality" -> ((s, dir) => {
       import s.implicits._
       val txt = $"text"
@@ -765,6 +781,12 @@ object SparkEntry {
   // x2 partial-combine block width in doc_id space: ids are unique, so
   // a block holds at most this many docs regardless of corpus size
   private[graft] val X2Block = 4096
+  // c1 chunking: 32-token context budget, stride 24 (8-token overlap
+  // between consecutive chunks) — small enough that gate docs produce
+  // several chunks each, so every branch (single-chunk short docs,
+  // overlap interior, short tail window) is exercised
+  private[graft] val C1MaxTok = 32
+  private[graft] val C1Stride = 24
   // m2's two-consumer payload materialization level. MEMORY_AND_DISK
   // (not localCheckpoint) is the 100-TB setting: partitions spill to
   // disk instead of evicting-and-failing, and lost executors recompute
@@ -1093,6 +1115,29 @@ object SparkEntry {
       """SELECT doc_id, length(text) AS n_chars,
          len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_tokens
          FROM documents ORDER BY doc_id""",
+
+    // full replay of the chunker: same whitespace split, same window
+    // arithmetic, same list slicing — every chunk string must match
+    "c1_token_chunks" ->
+      """WITH s AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL
+         ), n AS (
+           SELECT doc_id, toks, len(toks) AS t,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+             END AS nc
+           FROM s
+         ), e AS (
+           SELECT doc_id, toks, t,
+             CAST(unnest(range(nc)) AS INT) AS chunk_idx
+           FROM n
+         )
+         SELECT doc_id, chunk_idx,
+           CAST(least(32, t - chunk_idx * 24) AS INT) AS n_tok,
+           array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
+             ' ') AS chunk
+         FROM e ORDER BY doc_id, chunk_idx""",
 
     "t2_quality" ->
       """SELECT doc_id,

@@ -22,6 +22,31 @@ object TextFunctions {
   /** Token count via a BPE-ish word/number regex (alnum runs). */
   def tokenCount(c: Column): Column = regexp_count(c, lit("[A-Za-z0-9]+"))
 
+  /** Token-window chunks — the sequence-prep step every training-data
+    * pipeline runs before packing: greedy fixed-stride windows of
+    * `maxTok` whitespace tokens, consecutive chunks sharing
+    * `maxTok - stride` tokens of overlap, the final window short.
+    * Returns an array of (chunk_idx, n_tok, chunk) structs the caller
+    * explodes; output per row is bounded by ceil(tokens/stride)
+    * elements and the whole thing is generator-side Catalyst (split →
+    * sequence → transform → slice) — codegen'd, no UDF, no shuffle,
+    * embarrassingly parallel at any corpus size.
+    */
+  def tokenChunks(c: Column, maxTok: Int, stride: Int): Column = {
+    require(maxTok >= 1 && stride >= 1 && stride <= maxTok,
+      "need 1 <= stride <= maxTok")
+    val toks = split(trim(c), "\\s+")
+    val t = size(toks)
+    val n = when(t <= maxTok, lit(1))
+      .otherwise(ceil((t - maxTok).cast("double") / stride).cast("int")
+        + lit(1))
+    transform(sequence(lit(0), n - 1), i =>
+      struct(i.as("chunk_idx"),
+        least(lit(maxTok), t - i * stride).as("n_tok"),
+        array_join(slice(toks, i * stride + 1, lit(maxTok)), " ")
+          .as("chunk")))
+  }
+
   /** Character-class counts (quality-scoring inputs). */
   def alphaChars(c: Column): Column =
     length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
