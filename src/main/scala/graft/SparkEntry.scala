@@ -293,6 +293,35 @@ object SparkEntry {
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
+    // sequence packing — the step AFTER chunking: lay chunks head-to-
+    // tail and assign each to a fixed token-budget training sequence.
+    // Real packers shard first and pack within shards (a single global
+    // cumulative sum is a one-reducer funnel); doc_id div C2Shard
+    // bounds every shard regardless of corpus size, so the window
+    // partition count grows with the data and no reducer ever sees
+    // more than a shard. seq_id/seq_off come from the running token
+    // count BEFORE each chunk — deterministic because (doc_id,
+    // chunk_idx) is a unique total order within a shard.
+    "c2_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"shard").orderBy($"doc_id", $"chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "documents")
+        .filter($"text".isNotNull)
+        .select($"doc_id",
+          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride))
+            .as("c"))
+        .select($"doc_id", $"c.chunk_idx", $"c.n_tok")
+        .withColumn("shard", expr(s"doc_id div $C2Shard"))
+        .withColumn("cum_before",
+          sum($"n_tok").over(w) - $"n_tok")
+        .select($"doc_id", $"chunk_idx", $"n_tok", $"shard",
+          floor($"cum_before" / C2Budget).as("seq_id"),
+          ($"cum_before" % C2Budget).as("seq_off"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     "t2_quality" -> ((s, dir) => {
       import s.implicits._
       val txt = $"text"
@@ -787,6 +816,10 @@ object SparkEntry {
   // overlap interior, short tail window) is exercised
   private[graft] val C1MaxTok = 32
   private[graft] val C1Stride = 24
+  // c2 packing: shard width in doc_id space (bounds any one window
+  // partition) and the per-sequence token budget
+  private[graft] val C2Shard = 4096
+  private[graft] val C2Budget = 256
   // m2's two-consumer payload materialization level. MEMORY_AND_DISK
   // (not localCheckpoint) is the 100-TB setting: partitions spill to
   // disk instead of evicting-and-failing, and lost executors recompute
@@ -1138,6 +1171,41 @@ object SparkEntry {
            array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
              ' ') AS chunk
          FROM e ORDER BY doc_id, chunk_idx""",
+
+    // the same chunk stream, packed: running token count within each
+    // doc_id-shard (unique (doc_id, chunk_idx) order makes the window
+    // deterministic), sequence id and offset from the pre-chunk total
+    "c2_sequence_pack" ->
+      """WITH s AS (
+           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+           FROM documents WHERE text IS NOT NULL
+         ), n AS (
+           SELECT doc_id, toks, len(toks) AS t,
+             CASE WHEN len(toks) <= 32 THEN 1
+                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+             END AS nc
+           FROM s
+         ), e AS (
+           SELECT doc_id, t,
+             CAST(unnest(range(nc)) AS INT) AS chunk_idx
+           FROM n
+         ), c AS (
+           SELECT doc_id, chunk_idx,
+             CAST(least(32, t - chunk_idx * 24) AS INT) AS n_tok,
+             doc_id // 4096 AS shard
+           FROM e
+         ), p AS (
+           SELECT doc_id, chunk_idx, n_tok, shard,
+             CAST(SUM(n_tok) OVER (PARTITION BY shard
+               ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tok AS BIGINT) AS cum_before
+           FROM c
+         )
+         SELECT doc_id, chunk_idx, n_tok, shard,
+           cum_before // 256 AS seq_id,
+           cum_before % 256 AS seq_off
+         FROM p ORDER BY doc_id, chunk_idx""",
 
     "t2_quality" ->
       """SELECT doc_id,

@@ -52,6 +52,39 @@ class TextChunkSpec extends AnyFunSuite {
     assert(chunksOf("   \t  ").toSeq == Seq((0, 2, " ")))
   }
 
+  test("c2 packing: running offsets, budget rollover, shard reset") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("c2pack").toString
+    // token counts chosen to roll past the 256 budget inside shard 0
+    // and to prove the counter resets at the 4096-doc shard boundary
+    val docs = Seq(0L -> 50, 1L -> 10, 2L -> 300, 4096L -> 40)
+    docs.map { case (id, n) =>
+      (id, (1 to n).map(i => s"d${id}t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = graft.SparkEntry.queries("c2_sequence_pack")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    // reference packer: chunk sizes from the window arithmetic, then a
+    // per-shard running total
+    val want = scala.collection.mutable.Set.empty[(Long, Int, Int, Long, Long, Long)]
+    docs.groupBy(_._1 / 4096).foreach { case (shard, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).foreach { case (id, t) =>
+        val nc = if (t <= 32) 1 else ((t - 32 + 23) / 24) + 1
+        (0 until nc).foreach { ci =>
+          val nTok = math.min(32, t - ci * 24)
+          want += ((id, ci, nTok, shard, cum / 256, cum % 256))
+          cum += nTok
+        }
+      }
+    }
+    assert(got == want.toSet)
+    assert(got.exists(_._5 > 0), "budget rollover not exercised")
+    assert(got.filter(_._4 == 1L).forall(r => r._6 < 50),
+      "shard 1 must restart its running count")
+  }
+
   test("null text propagates to a null array (caller filters)") {
     import spark.implicits._
     val n = Seq(Tuple1(null: String)).toDF("text")
