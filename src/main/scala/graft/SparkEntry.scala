@@ -310,14 +310,16 @@ object SparkEntry {
       t(s, dir, "documents")
         .filter($"text".isNotNull)
         .select($"doc_id",
-          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride))
-            .as("c"))
+          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride,
+            withText = false)).as("c"))
         .select($"doc_id", $"c.chunk_idx", $"c.n_tok")
         .withColumn("shard", expr(s"doc_id div $C2Shard"))
         .withColumn("cum_before",
           sum($"n_tok").over(w) - $"n_tok")
         .select($"doc_id", $"chunk_idx", $"n_tok", $"shard",
-          floor($"cum_before" / C2Budget).as("seq_id"),
+          // integer div, not floor(double /): exact at any magnitude,
+          // bit-matching the oracle's //
+          expr(s"cum_before div $C2Budget").as("seq_id"),
           ($"cum_before" % C2Budget).as("seq_off"))
         .orderBy($"doc_id", $"chunk_idx")
     }),
@@ -1150,15 +1152,22 @@ object SparkEntry {
          FROM documents ORDER BY doc_id""",
 
     // full replay of the chunker: same whitespace split, same window
-    // arithmetic, same list slicing — every chunk string must match
+    // arithmetic, same list slicing — every chunk string must match.
+    // The split class spells out Java's ASCII \s ([ \t\n\x0B\f\r]) —
+    // RE2's \s EXCLUDES vertical tab, so a bare '\s+' here would
+    // tokenize U+000B-bearing text differently from the Spark side.
+    // Window constants interpolate from the same C1* vals the query
+    // uses, so tuning them cannot silently strand the oracle.
     "c1_token_chunks" ->
-      """WITH s AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      raw"""WITH s AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
            FROM documents WHERE text IS NOT NULL
          ), n AS (
            SELECT doc_id, toks, len(toks) AS t,
-             CASE WHEN len(toks) <= 32 THEN 1
-                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+             CASE WHEN len(toks) <= $C1MaxTok THEN 1
+                  ELSE CAST(ceil((len(toks) - $C1MaxTok) / $C1Stride.0)
+                       AS INT) + 1
              END AS nc
            FROM s
          ), e AS (
@@ -1167,22 +1176,24 @@ object SparkEntry {
            FROM n
          )
          SELECT doc_id, chunk_idx,
-           CAST(least(32, t - chunk_idx * 24) AS INT) AS n_tok,
-           array_to_string(toks[chunk_idx * 24 + 1 : chunk_idx * 24 + 32],
-             ' ') AS chunk
+           CAST(least($C1MaxTok, t - chunk_idx * $C1Stride) AS INT) AS n_tok,
+           array_to_string(toks[chunk_idx * $C1Stride + 1 :
+             chunk_idx * $C1Stride + $C1MaxTok], ' ') AS chunk
          FROM e ORDER BY doc_id, chunk_idx""",
 
     // the same chunk stream, packed: running token count within each
     // doc_id-shard (unique (doc_id, chunk_idx) order makes the window
     // deterministic), sequence id and offset from the pre-chunk total
     "c2_sequence_pack" ->
-      """WITH s AS (
-           SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks
+      raw"""WITH s AS (
+           SELECT doc_id,
+             string_split_regex(trim(text), '[ \t\n\x0b\f\r]+') AS toks
            FROM documents WHERE text IS NOT NULL
          ), n AS (
            SELECT doc_id, toks, len(toks) AS t,
-             CASE WHEN len(toks) <= 32 THEN 1
-                  ELSE CAST(ceil((len(toks) - 32) / 24.0) AS INT) + 1
+             CASE WHEN len(toks) <= $C1MaxTok THEN 1
+                  ELSE CAST(ceil((len(toks) - $C1MaxTok) / $C1Stride.0)
+                       AS INT) + 1
              END AS nc
            FROM s
          ), e AS (
@@ -1191,8 +1202,8 @@ object SparkEntry {
            FROM n
          ), c AS (
            SELECT doc_id, chunk_idx,
-             CAST(least(32, t - chunk_idx * 24) AS INT) AS n_tok,
-             doc_id // 4096 AS shard
+             CAST(least($C1MaxTok, t - chunk_idx * $C1Stride) AS INT) AS n_tok,
+             doc_id // $C2Shard AS shard
            FROM e
          ), p AS (
            SELECT doc_id, chunk_idx, n_tok, shard,
@@ -1203,8 +1214,8 @@ object SparkEntry {
            FROM c
          )
          SELECT doc_id, chunk_idx, n_tok, shard,
-           cum_before // 256 AS seq_id,
-           cum_before % 256 AS seq_off
+           cum_before // $C2Budget AS seq_id,
+           cum_before % $C2Budget AS seq_off
          FROM p ORDER BY doc_id, chunk_idx""",
 
     "t2_quality" ->

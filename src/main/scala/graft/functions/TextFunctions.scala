@@ -32,7 +32,8 @@ object TextFunctions {
     * sequence → transform → slice) — codegen'd, no UDF, no shuffle,
     * embarrassingly parallel at any corpus size.
     */
-  def tokenChunks(c: Column, maxTok: Int, stride: Int): Column = {
+  def tokenChunks(c: Column, maxTok: Int, stride: Int,
+      withText: Boolean = true): Column = {
     require(maxTok >= 1 && stride >= 1 && stride <= maxTok,
       "need 1 <= stride <= maxTok")
     val toks = split(trim(c), "\\s+")
@@ -40,11 +41,18 @@ object TextFunctions {
     val n = when(t <= maxTok, lit(1))
       .otherwise(ceil((t - maxTok).cast("double") / stride).cast("int")
         + lit(1))
-    transform(sequence(lit(0), n - 1), i =>
-      struct(i.as("chunk_idx"),
-        least(lit(maxTok), t - i * stride).as("n_tok"),
-        array_join(slice(toks, i * stride + 1, lit(maxTok)), " ")
-          .as("chunk")))
+    // consumers that only need the window grid (e.g. packing) skip the
+    // chunk strings entirely: the field is built inside this lambda, so
+    // generator pruning cannot remove it after the fact
+    transform(sequence(lit(0), n - 1), i => {
+      val idx = i.as("chunk_idx")
+      val nt = least(lit(maxTok), t - i * stride).as("n_tok")
+      if (withText)
+        struct(idx, nt,
+          array_join(slice(toks, i * stride + 1, lit(maxTok)), " ")
+            .as("chunk"))
+      else struct(idx, nt)
+    })
   }
 
   /** Character-class counts (quality-scoring inputs). */

@@ -50,6 +50,10 @@ class TextChunkSpec extends AnyFunSuite {
     // arrays, so the oracle replays both shapes bit-for-bit
     assert(chunksOf("").toSeq == Seq((0, 1, "")))
     assert(chunksOf("   \t  ").toSeq == Seq((0, 2, " ")))
+    // vertical tab: Java's \s includes U+000B but RE2's does not — the
+    // oracle spells out the Java class explicitly, so both engines
+    // must split this into two tokens
+    assert(chunksOf("a\u000Bb").toSeq == Seq((0, 2, "a b")))
   }
 
   test("c2 packing: running offsets, budget rollover, shard reset") {
