@@ -48,32 +48,67 @@ object Bench {
   // (object-level kernels: local defs inside main would capture the
   // enclosing frame and break task serialization)
 
-  /** Deterministic uniform in [-1, 1) from a seed (SplitMix-style). */
+  /** Deterministic uniform in [-1, 1) from a seed: golden-ratio stream
+    * increment ROUTED THROUGH the full mix64 finalizer (round-5 ADVICE:
+    * the multiply alone leaves sequential seeds lattice-correlated — a
+    * low-discrepancy sequence, not independent draws — so the "uniform
+    * background" of the skew corpus wasn't one).
+    */
   private[graft] def skewU(s: Long): Float = {
-    val z = s * 0x9E3779B97F4A7C15L
+    val z = CorpusGen.mix64(s * 0x9E3779B97F4A7C15L)
     ((z >>> 11).toDouble / 4503599627370496.0 - 1.0).toFloat
   }
 
   private[graft] def skewMix(z0: Long): Long =
     CorpusGen.mix64(z0 + 0x9E3779B97F4A7C15L)
 
+  // 8k-doc hub in a 20k corpus: with the background now HONESTLY
+  // uniform (skewU routed through mix64), hub pairs must dominate the
+  // candidate volume for the re-split cut to measure the hub defense
+  // and not background noise — the old 50k/5k shape only looked dense
+  // because the lattice-correlated background crowded buckets too
   private val SkewDim = 16
-  private val SkewN = 50000L
-  private val SkewHub = 5000L
+  private val SkewN = 20000L
+  private val SkewHub = 8000L
+  // plane count the sideline runs at (and skewVec pins the hub to):
+  // the production sizing rule over the skew corpus
+  private[graft] val SkewPlanes =
+    graft.operators.Similarity.sizePlanes(SkewN, targetBucket = 125)
+  private val SkewTarget = 0xA5L & ((1L << SkewPlanes) - 1)
+  private lazy val SkewMat =
+    graft.operators.Similarity.planeMatrix(SkewPlanes, SkewDim)
 
-  /** Skew-corpus vector: ids < SkewHub share a direction plus noise
-    * (pairwise cos ~0.6 — crowds LSH buckets without being true
-    * near-dups), the rest are uniform background.
+  /** Skew-corpus vector. Hub ids (< SkewHub) are uniform vectors
+    * REJECTION-SAMPLED into table 0's SkewTarget bucket — a true
+    * BLOCKING-COLLISION hub (the s3 analog of skewSig's bit-pinned d4
+    * hub): 8k members crowd one LSH bucket while staying mutually
+    * near-orthogonal, exactly the crowd the extension-plane re-split
+    * exists to split. (A direction-plus-noise hub cannot measure the
+    * defense: genuinely similar members agree on the extension planes
+    * too, so no hyperplane family separates them — and true near-dups
+    * are the pairs the operator MUST keep.) Non-hub ids are uniform
+    * background. Deterministic: trial t of id i draws from seed
+    * (i*8192+t); acceptance is 2^-SkewPlanes per trial, so the 8192-
+    * trial cap fails with probability e^-32 (then the last draw stands
+    * as background — harmless).
     */
   private[graft] def skewVec(i: Long): Seq[Float] = {
     val out = new Array[Float](SkewDim)
-    var d = 0
-    while (d < SkewDim) {
-      out(d) =
-        if (i < SkewHub) skewU(999L * SkewDim + d) + 0.8f * skewU((i + 3L) * SkewDim + d)
-        else skewU((i + 77L) * SkewDim + d)
-      d += 1
+    def fill(seed: Long): Unit = {
+      var d = 0
+      while (d < SkewDim) { out(d) = skewU(seed * SkewDim + d); d += 1 }
     }
+    if (i < SkewHub) {
+      val mat = SkewMat
+      var trial = 0L
+      var ok = false
+      while (!ok && trial < 8192L) {
+        fill(i * 8192L + trial)
+        ok = graft.operators.Similarity.bucketOf(out, mat, 0, SkewPlanes) ==
+          SkewTarget
+        trial += 1
+      }
+    } else fill(i + 77L)
     out.toSeq
   }
 
@@ -85,11 +120,60 @@ object Bench {
     if (i < 4000L) (skewMix(i ^ 0x68bL) & 0xFFFFFFFFFFFF0000L) | 0xABCDL
     else skewMix(i ^ 0xb6L)
 
+  // d2 (PPJoin) skew corpus, three deterministic families over a shared
+  // 12-token block vocabulary ("w{k}b{j}" — inner-varying k interleaves
+  // different blocks' shingles in the (df, g) prefix ordering, so
+  // shared blocks sit near the FRONT of prefixes, not past them):
+  //   - df-hub: D2Hub docs sharing a 12-token boilerplate whose trigram
+  //     shingles have df = D2Hub. The naive shingle self-join goes
+  //     quadratic on exactly these (~1.1M pairs); the df-ordered PREFIX
+  //     filter keeps them out of the join keys entirely.
+  //   - small chain: doc c = block(c) ++ block(c+1); adjacent docs
+  //     share 10 df≈2 shingles (true J ≈ 0.29) — these candidates DO
+  //     pass the prefix filter (shared shingles rank early).
+  //   - big docs: doc m = blocks m..m+9 (120 tokens). Each overlaps 9
+  //     small chain docs in 1-2 blocks; the size asymmetry makes the
+  //     required overlap alpha = ceil(J/(1+J)·(|A|+|B|)) ≈ 44 exceed
+  //     the small doc's whole shingle set, so the POSITIONAL filter —
+  //     and only it — kills these prefix-passing candidates. The
+  //     prefix cut and the positional cut are thus SEPARATELY visible
+  //     in the three measured volumes.
+  private val D2Hub = 1500L
+  private val D2Chain = 1000L
+  private val D2Big = 300L
+
+  private[graft] def d2SkewText(i: Long): String = {
+    val sb = new java.lang.StringBuilder
+    def block(j: Long): Unit = {
+      var k = 0
+      while (k < 12) { sb.append('w').append(k).append('b').append(j)
+        .append(' '); k += 1 }
+    }
+    if (i < D2Hub) {
+      var k = 0
+      while (k < 12) { sb.append('h').append(k).append(' '); k += 1 }
+      var j = 0
+      while (j < 20) { sb.append('u').append(i).append('k').append(j)
+        .append(' '); j += 1 }
+    } else if (i < D2Hub + D2Chain) {
+      val c = i - D2Hub
+      block(c); block(c + 1)
+    } else {
+      val m = i - D2Hub - D2Chain
+      var b = 0L
+      while (b < 10L) { block(m + b); b += 1 }
+    }
+    sb.toString.trim
+  }
+
   /** Untimed adversarial-skew sideline: candidate-pair volumes for the
-    * s3 (cosine LSH) and d4 (SimHash) skew defenses with the re-split
-    * off vs on, over synthetic dense-hub corpora — the skew guarantees
-    * as measured numbers in the artifact rather than only spec
-    * assertions. Zeroed (never throwing) on failure.
+    * s3 (cosine LSH) and d4 (SimHash) re-split defenses (off vs on) and
+    * the d2 (PPJoin) prefix/positional filters (successively enabled),
+    * over synthetic dense-hub corpora — the skew guarantees as measured
+    * numbers in the artifact rather than only spec assertions. Zeroed on
+    * failure, but ONLY for NonFatal errors and always logged (round-5
+    * ADVICE: a swallowed OutOfMemoryError must not masquerade as a
+    * measured zero).
     */
   private[graft] def skewSideline(spark: SparkSession): Seq[(String, Double)] = {
     import spark.implicits._
@@ -98,10 +182,9 @@ object Bench {
       val vecs = spark.range(SkewN).map(i => (i, skewVec(i)))
         .toDF("vec_id", "embedding")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val planes = Similarity.sizePlanes(SkewN, targetBucket = 125)
       def s3Cands(cap: Int): Double =
         Similarity.candidatePairs(vecs, "embedding", "vec_id",
-          planes, tables = 8, maxBucket = cap).count().toDouble
+          SkewPlanes, tables = 8, maxBucket = cap).count().toDouble
       val s3Off = s3Cands(0)
       val s3On = s3Cands(500)
       vecs.unpersist()
@@ -114,16 +197,41 @@ object Bench {
       val d4Off = d4Cands(0)
       val d4On = d4Cands(500)
       sigs.unpersist()
+      Dedup.releaseCaches()
+      val d2docs = spark.range(D2Hub + D2Chain + D2Big)
+        .map(i => (i, d2SkewText(i)))
+        .toDF("doc_id", "text")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      d2docs.count()
+      def d2Cands(prefix: Boolean, positional: Boolean): Double = {
+        val c = Dedup.jaccardCandidates(d2docs, "text", "doc_id",
+          n = 3, minJ = 0.5, prefixFilter = prefix,
+          positionalFilter = positional).count().toDouble
+        Dedup.releaseCaches()
+        c
+      }
+      val d2None = d2Cands(prefix = false, positional = false)
+      val d2Prefix = d2Cands(prefix = true, positional = false)
+      val d2Full = d2Cands(prefix = true, positional = true)
+      d2docs.unpersist()
       Seq("skew_s3_candidates_nosplit" -> s3Off,
         "skew_s3_candidates_resplit" -> s3On,
         "skew_d4_candidates_nosplit" -> d4Off,
-        "skew_d4_candidates_resplit" -> d4On)
+        "skew_d4_candidates_resplit" -> d4On,
+        "skew_d2_candidates_nofilter" -> d2None,
+        "skew_d2_candidates_prefix" -> d2Prefix,
+        "skew_d2_candidates_full" -> d2Full)
     } catch {
-      case _: Throwable =>
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] skew sideline FAILED (zeroed keys): " +
+          s"${e.getClass.getName}: ${e.getMessage}")
         Seq("skew_s3_candidates_nosplit" -> 0.0,
           "skew_s3_candidates_resplit" -> 0.0,
           "skew_d4_candidates_nosplit" -> 0.0,
-          "skew_d4_candidates_resplit" -> 0.0)
+          "skew_d4_candidates_resplit" -> 0.0,
+          "skew_d2_candidates_nofilter" -> 0.0,
+          "skew_d2_candidates_prefix" -> 0.0,
+          "skew_d2_candidates_full" -> 0.0)
     }
   }
 
@@ -330,6 +438,34 @@ object Bench {
     s((s.size - 1) / 2)
   }
 
+  /** A thread-only scaling window for the RAW (unnormalized) evidence:
+    * the raw thr16/thr4/4 ratio is only meaningful when the box itself
+    * delivered ~4x compute for 4x threads DURING the window — capT is
+    * that self-measurement, bracketing the two throughput runs.
+    */
+  private final case class RawWindow(cal4: Double, cal16: Double,
+      thr4: Double, thr16: Double) {
+    def capT: Double = 4.0 * cal4 / cal16
+    def raw: Double = (thr16 / thr4) / 4.0
+  }
+
+  /** Box capacity a raw window's calibration must reach (of ideal 4.0)
+    * to count as QUIET — i.e. the box genuinely delivered ~4x compute,
+    * so the raw ratio measures the CODE's scaling, not the neighbors'.
+    */
+  private val RawQuietCap = 3.6
+
+  private def measureRawWindow(): RawWindow = {
+    val cal4 = cpuCalibration(4)
+    val thr4 = extractionTrials(4, 2).max
+    val thr16 = extractionTrials(16, 2).max
+    val cal16 = cpuCalibration(16)
+    val w = RawWindow(cal4, cal16, thr4, thr16)
+    System.err.println(f"[bench] raw retry window: capT=${w.capT}%.2f " +
+      f"raw=${w.raw}%.2f thr4=$thr4%.0f thr16=$thr16%.0f")
+    w
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
@@ -369,6 +505,31 @@ object Bench {
     val qual = qualOf(all)
     val capacityLimited = qual.size < 2
     val use = if (qual.isEmpty) all else qual // honest fallback, flagged
+
+    // RAW evidence (round-5 headline ask): the unnormalized ratio slid
+    // r3→r4 because the box rarely delivers 4x compute for 4x threads
+    // (all-night calibrations read 2.5-3.8x). A raw ratio from a
+    // degraded window measures the neighbors, not the code — so keep
+    // sampling thread-only windows until one's OWN calibration reads
+    // >= RawQuietCap, and report raw from the quietest such window
+    // (fallback: the old qualified-window median, flagged).
+    val mainRaw = all.map(w => RawWindow(w.cal4a, w.cal16a, w.thr4, w.thr16))
+    val rawRetries =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RAW_RETRIES", "6").toInt
+    val rawWindows = scala.collection.mutable.ArrayBuffer(mainRaw: _*)
+    while (!rawWindows.exists(_.capT >= RawQuietCap) &&
+        (rawWindows.size - mainRaw.size) < rawRetries)
+      rawWindows += measureRawWindow()
+    val quietRaw = rawWindows.filter(_.capT >= RawQuietCap).toSeq
+    val rawMedianQualified = median(use.map(w => (w.thr16 / w.thr4) / 4.0))
+    val rawHeadline =
+      if (quietRaw.nonEmpty) quietRaw.maxBy(_.capT).raw
+      else rawMedianQualified
+    val rawExecutors = {
+      val xs = use.flatMap(w =>
+        for (a <- w.clu4; b <- w.clu16) yield (b / a) / 4.0)
+      if (xs.nonEmpty) median(xs) else 0.0
+    }
     // normalized efficiency is capped at 1.0 for the headline: the
     // membw-shaped calibration can over-normalize a few percent (effT
     // 1.08 observed) and a >1 "efficiency" is not a measurement of
@@ -382,7 +543,22 @@ object Bench {
     // numbers corroborate and are published right alongside
     val headline = median(threadEffs)
 
-    val scaling = Seq(
+    // the compact key set that rides IN the headline JSON line (the
+    // driver's stdout-tail window truncates long lines — round-4's
+    // 2 KB line failed to parse, so everything else goes to
+    // BENCH_DETAIL.json)
+    val lineScaling = Seq(
+      "scaling_efficiency" -> headline,
+      "scaling_efficiency_executors_1_to_4" ->
+        (if (clusterMode) median(clusterEffs) else 0.0),
+      // raw = thr16/thr4/4 with NO calibration normalization, reported
+      // from the quietest window (own calibration >= RawQuietCap) —
+      // see the raw-retry loop above; raw_quiet_found says which path
+      "scaling_efficiency_raw_unnormalized" -> rawHeadline,
+      "scaling_efficiency_raw_executors" -> rawExecutors,
+      "raw_quiet_found" -> (if (quietRaw.nonEmpty) 1.0 else 0.0),
+      "scaling_windows_qualified" -> qual.size.toDouble)
+    val scaling = lineScaling ++ Seq(
       "extract_docs_per_sec_n1x4" ->
         median(use.flatMap(_.clu4).filter(_ > 0) match {
           case Seq() => Seq(0.0); case xs => xs }),
@@ -392,18 +568,16 @@ object Bench {
       "extract_docs_per_sec_p4" -> median(use.map(_.thr4)),
       "extract_docs_per_sec_p16" -> median(use.map(_.thr16)),
       "box_capacity_ratio_4_to_16" -> median(use.map(_.capacity)),
-      "scaling_efficiency" -> headline,
-      "scaling_efficiency_executors_1_to_4" ->
-        (if (clusterMode) median(clusterEffs) else 0.0),
       "scaling_efficiency_threads" -> median(threadEffs),
       "scaling_efficiency_threads_uncapped" -> median(use.map(_.effThreads)),
       "scaling_efficiency_all_windows" ->
         median(all.map(w => capEff(w.effThreads))),
       "scaling_efficiency_is_threads" -> 1.0,
-      "scaling_efficiency_raw_unnormalized" ->
-        median(use.map(w => (w.thr16 / w.thr4) / 4.0)),
+      "scaling_efficiency_raw_median_qualified" -> rawMedianQualified,
+      "raw_quiet_capacity" ->
+        (if (quietRaw.nonEmpty) quietRaw.map(_.capT).max else 0.0),
+      "raw_windows_total" -> rawWindows.size.toDouble,
       "scaling_windows" -> all.size.toDouble,
-      "scaling_windows_qualified" -> qual.size.toDouble,
       "scaling_mode_executors" -> (if (clusterMode) 1.0 else 0.0),
       "capacity_limited" -> (if (capacityLimited) 1.0 else 0.0),
       "extract_bench_docs" -> ExtractDocs.toDouble)
@@ -413,10 +587,15 @@ object Bench {
     // a fallback/underqualified run
     val capFlag = if (capacityLimited) 1 else 0
 
-    if (scalingOnly) {
-      val qs0 = scaling.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+    def jnum(v: Double, dec: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${dec}f",
+        java.lang.Double.valueOf(v))
+    def kvJson(kvs: Seq[(String, Double)], dec: Int): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + jnum(v, dec) }
         .mkString("{", ",", "}")
-      println(f"{\"metric\":\"scaling\",\"value\":$headline%.4f,\"unit\":\"eff\",\"capacity_limited\":$capFlag%d,\"queries\":$qs0%s,\"sf\":\"$sfDir%s\"}")
+
+    if (scalingOnly) {
+      println(s"""{"metric":"scaling","value":${jnum(headline, 4)},"unit":"eff","capacity_limited":$capFlag,"queries":${kvJson(scaling, 4)},"sf":"$sfDir"}""")
       return
     }
 
@@ -475,24 +654,62 @@ object Bench {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
-        name -> (System.nanoTime() - t0) / 1e9
+        val dt = (System.nanoTime() - t0) / 1e9
+        // untimed: drop the dedup operators' tracked caches so 40+
+        // queries in one session cannot accumulate cached blocks
+        graft.operators.Dedup.releaseCaches()
+        name -> dt
       }
     }
+    graft.operators.Dedup.releaseCaches()
     sharedClusters.foreach(_.unpersist())
     sharedPairs.foreach(_.unpersist())
     val total = results.map(_._2).sum
     // untimed: the skew defenses as measured candidate volumes
     val skew = skewSideline(spark)
-    val qs = (results ++ scaling ++ skew)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
-      .mkString("{", ",", "}")
-    val line =
-      f"""{"metric":"total","value":$total%.4f,"unit":"sec","capacity_limited":$capFlag%d,"queries":$qs%s,"sf":"$sfDir%s"}"""
-    // the line must reach the driver unprefixed (build.sbt routes forked
-    // stdout straight through); BENCH_LAST.json is the on-disk backup
+
+    // full-fidelity side artifact: 4-decimal query times, the complete
+    // scaling key set, skew volumes, and per-window dumps — everything
+    // the compact headline line deliberately leaves out
+    val winJson = all.map(w =>
+      s"""{"cal4a":${jnum(w.cal4a, 3)},"cal4b":${jnum(w.cal4b, 3)},""" +
+      s""""cal16a":${jnum(w.cal16a, 3)},"cal16b":${jnum(w.cal16b, 3)},""" +
+      s""""thr4":${jnum(w.thr4, 0)},"thr16":${jnum(w.thr16, 0)},""" +
+      s""""clu4":${jnum(w.clu4.getOrElse(0.0), 0)},""" +
+      s""""clu16":${jnum(w.clu16.getOrElse(0.0), 0)},""" +
+      s""""capT":${jnum(w.capThreads, 3)},"capC":${jnum(w.capCluster, 3)},""" +
+      s""""qualified":${w.qualified}}""").mkString("[", ",", "]")
+    val rawJson = rawWindows.map(w =>
+      s"""{"capT":${jnum(w.capT, 3)},"raw":${jnum(w.raw, 3)},""" +
+      s""""thr4":${jnum(w.thr4, 0)},"thr16":${jnum(w.thr16, 0)}}""")
+      .mkString("[", ",", "]")
+    val detail =
+      s"""{"queries":${kvJson(results, 4)},"scaling":${kvJson(scaling, 4)},""" +
+      s""""skew":${kvJson(skew, 1)},"windows":$winJson,""" +
+      s""""raw_windows":$rawJson,"sf":"$sfDir"}"""
+    try Files.writeString(Paths.get("BENCH_DETAIL.json"), detail + "\n")
+    catch { case _: Throwable => () }
+
+    spark.stop(); clear()
+
+    // the headline line must reach the driver unprefixed AND unsheared:
+    // the driver captures a bounded stdout TAIL, and round-4's 2,031-
+    // byte line lost its head to that window ("parsed": null). So the
+    // line (a) is the very last stdout write, after spark.stop(), and
+    // (b) carries only the query times (3 decimals) plus the compact
+    // scaling subset, dropping to 2 decimals if it still runs long —
+    // full fidelity lives in BENCH_DETAIL.json.
+    def assemble(dec: Int): String = {
+      // one flat "queries" object: query times at `dec` decimals, the
+      // scaling subset at 4 (same driver schema as earlier rounds)
+      val merged = kvJson(results, dec).dropRight(1) + "," +
+        kvJson(lineScaling, 4).drop(1)
+      s"""{"metric":"total","value":${jnum(total, 3)},"unit":"sec","capacity_limited":$capFlag,"queries":$merged,"sf":"$sfDir"}"""
+    }
+    val line3 = assemble(3)
+    val line = if (line3.length <= 1750) line3 else assemble(2)
     println(line)
     try Files.writeString(Paths.get("BENCH_LAST.json"), line + "\n")
     catch { case _: Throwable => () }
-    spark.stop()
   }
 }

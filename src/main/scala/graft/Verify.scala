@@ -21,6 +21,10 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop the dedup operators' tracked multi-consumer caches between
+      // queries (each query rebuilds its own; 44 queries in one session
+      // must not accumulate cached blocks)
+      graft.operators.Dedup.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -25,6 +25,42 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Recoverability contract for corpus-sized multi-consumer
+    * intermediates (shingle/token/bucket tables): persist(
+    * MEMORY_AND_DISK) + one eager count(), NEVER localCheckpoint.
+    * Checkpoint blocks lost with a dead executor kill the job (no
+    * lineage to rebuild from), while a persisted partition recomputes
+    * from its — here deliberately shallow — lineage; at 10^9 docs with
+    * executor churn that difference is the job surviving the night.
+    * The eager count matters too: persist alone is LAZY, so two
+    * sibling consumers of a cold cache would each compute the kernel.
+    *
+    * Persisted tables are tracked; a long-lived session (bench loops,
+    * notebook use) calls `releaseCaches()` between runs — after the
+    * consuming action — so repeated dedup calls cannot accumulate
+    * cached blocks until eviction pressure (round-5 ADVICE).
+    */
+  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count()
+    synchronized { tracked += p }
+    p
+  }
+
+  /** Unpersist every table a Dedup operator materialized. Call after
+    * the consuming action completes (results already computed or
+    * themselves persisted) — a still-lazy downstream plan would
+    * recompute its inputs from lineage, correct but slow.
+    */
+  def releaseCaches(): Unit = synchronized {
+    tracked.foreach(df =>
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () })
+    tracked.clear()
+  }
+
   /** Exact duplicate groups: one row per distinct normalized text.
     * (keep = min doc id, n = group size).
     */
@@ -71,13 +107,14 @@ object Dedup {
     val idType = docs.schema(idCol).dataType
     // shingling via the JIT Scala kernel (same values as wordShingles —
     // verified by the DuckDB oracle on this exact operator); ids pass
-    // through as strings and are cast back to their original type below
-    // materialized ONCE (localCheckpoint → block store, cleaned by the
-    // ContextCleaner when unreferenced): five consumers read this table
+    // through as strings and are cast back to their original type below.
+    // Materialized ONCE under the recoverability contract (persist +
+    // eager count, see `materialize`): five consumers read this table
     // (prefix explode, two hash-screen joins, two exact-verify joins) —
     // without it each one re-runs the tokenize+shingle+hash kernel over
     // the whole corpus, five scans instead of one at 10^9 docs
-    val sh = docs.select(col(idCol).cast("string").as("doc_id"),
+    val sh = materialize(docs
+      .select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
       .mapPartitions(_.map { case (id, ts) =>
@@ -85,33 +122,9 @@ object Dedup {
         (id, ss.toSeq, ss.map(fnv1a64).sorted.toSeq)
       })
       .toDF("doc_id", "sh", "hs")
-      .filter(size(col("sh")) > 0)
-      .localCheckpoint(true)
-    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
-      explode(col("sh")).as("g"))
-    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
-    val prefix = ex.join(df, "g")
-      .withColumn("rn", row_number().over(w))
-      // the 1e-9 guard keeps IEEE noise (0.07*100 = 7.000000000000001)
-      // from rounding the ceiling UP past the true integer product and
-      // shortening the prefix below what the recall theorem requires;
-      // under-rounding merely lengthens the prefix (still exact)
-      .filter(col("rn") <=
-        col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
-      .select(col("doc_id"), col("g"), col("rn"), col("n_sh"))
-    // required overlap for J >= t, with the same safe-direction epsilon
-    val alpha = ceil(lit(minJ / (1 + minJ)) *
-      (col("a.n_sh") + col("b.n_sh")) - lit(1e-9))
-    val ubound = lit(1) +
-      least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))
-    val cand = prefix.as("a").join(prefix.as("b"),
-        col("a.g") === col("b.g") &&
-          col("a.doc_id").cast(idType) < col("b.doc_id").cast(idType))
-      .filter(ubound >= alpha)
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .filter(size(col("sh")) > 0))
+    val cand = candidateStage(sh, idType, minJ,
+      prefixFilter = true, positionalFilter = true)
     // stage 4: hash-level screen (j_hash >= j_true always; the 1e-3
     // margin covers the 4-decimal rounding of the final comparison)
     val hashA = sh.select(col("doc_id").as("id_a"), col("hs").as("ha"))
@@ -143,6 +156,65 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .withColumn("id_a", col("id_a").cast(idType))
       .withColumn("id_b", col("id_b").cast(idType))
+  }
+
+  /** The PPJoin candidate stage over a (doc_id, sh) shingle table, with
+    * each cut individually switchable so its effect is measurable:
+    * df-ordered prefix filter (step 2 of jaccardPairs' scaladoc) and
+    * positional filter (step 3). Both ON is the production path.
+    */
+  private def candidateStage(sh: DataFrame,
+      idType: org.apache.spark.sql.types.DataType, minJ: Double,
+      prefixFilter: Boolean, positionalFilter: Boolean): DataFrame = {
+    val ex = sh.select(col("doc_id"), size(col("sh")).as("n_sh"),
+      explode(col("sh")).as("g"))
+    val df = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
+    val ranked = ex.join(df, "g")
+      .withColumn("rn", row_number().over(w))
+    val prefix = (if (prefixFilter)
+      // the 1e-9 guard keeps IEEE noise (0.07*100 = 7.000000000000001)
+      // from rounding the ceiling UP past the true integer product and
+      // shortening the prefix below what the recall theorem requires;
+      // under-rounding merely lengthens the prefix (still exact)
+      ranked.filter(col("rn") <=
+        col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
+    else ranked)
+      .select(col("doc_id"), col("g"), col("rn"), col("n_sh"))
+    // required overlap for J >= t, with the same safe-direction epsilon
+    val alpha = ceil(lit(minJ / (1 + minJ)) *
+      (col("a.n_sh") + col("b.n_sh")) - lit(1e-9))
+    val ubound = lit(1) +
+      least(col("a.n_sh") - col("a.rn"), col("b.n_sh") - col("b.rn"))
+    val joined = prefix.as("a").join(prefix.as("b"),
+      col("a.g") === col("b.g") &&
+        col("a.doc_id").cast(idType) < col("b.doc_id").cast(idType))
+    (if (positionalFilter) joined.filter(ubound >= alpha) else joined)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .dropDuplicates("id_a", "id_b")
+  }
+
+  /** Distinct PPJoin candidate id pairs BEFORE verification, with the
+    * prefix / positional cuts switchable — exposed so tests and the
+    * bench's skew sideline can measure each filter's candidate-volume
+    * cut on hub corpora (the d2 analog of simhashCandidates). Both
+    * flags on = exactly the candidate set jaccardPairs verifies.
+    */
+  def jaccardCandidates(docs: DataFrame, textCol: String, idCol: String,
+      n: Int = 3, minJ: Double = 0.5, prefixFilter: Boolean = true,
+      positionalFilter: Boolean = true): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val idType = docs.schema(idCol).dataType
+    val sh = materialize(docs
+      .select(col(idCol).cast("string").as("doc_id"),
+        tokens(col(textCol)).as("t"))
+      .as[(String, Seq[String])]
+      .mapPartitions(_.map { case (id, ts) => (id, shingleSet(ts, n).toSeq) })
+      .toDF("doc_id", "sh")
+      .filter(size(col("sh")) > 0))
+    candidateStage(sh, idType, minJ, prefixFilter, positionalFilter)
   }
 
   /** Two-pointer intersection size of two SORTED long arrays (multiset
@@ -213,11 +285,13 @@ object Dedup {
     val rowsPerBand = perms / bands
     require(bands * rowsPerBand == perms, "bands must divide perms")
     // materialized once (three consumers: banding scan + the two
-    // candidate verify joins — see jaccardPairs' note)
-    val tokenized = docs.select(col(idCol).cast("string").as("doc_id"),
+    // candidate verify joins) under the same recoverability contract as
+    // jaccardPairs' shingle table — see `materialize`
+    val tokenized = materialize(docs
+      .select(col(idCol).cast("string").as("doc_id"),
         tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
-      .toDF("doc_id", "t").localCheckpoint(true)
+      .toDF("doc_id", "t"))
       .as[(String, Seq[String])]
     // one (band, bandHash) row per band — ids only; shingling + minhash
     // run exactly ONCE over the corpus, and the band self-join never
@@ -395,25 +469,40 @@ object Dedup {
     val w = math.max(2, 64 / segs.length)
 
     // depth-d segmentation offset: binary van der Corput (bit-reversal)
-    // fraction mapped onto the NON-ZERO residues 1..w-1 — every depth's
+    // fractions mapped onto the NON-ZERO residues 1..w-1 — every depth's
     // boundaries sit maximally far from all previous depths' (a plain
     // d*w/2 stride collapses to two alternating families mod w), and no
     // depth may reuse offset 0 or an earlier depth's offset: a repeated
     // segmentation leaves one child segment bit-identical to a segment
     // an ancestor bucket already agreed on, so that child reproduces
     // the ENTIRE parent bucket and the re-split amplifies frontier rows
-    // instead of cutting them. With only w-1 distinct non-zero residues
-    // available, the loop depth is capped at w-1 (narrow segments —
-    // large maxHamming — simply stop re-splitting sooner; recall is
+    // instead of cutting them. For non-power-of-two w the residue map
+    // is not injective (w=6 sends depths 3 and 5 both to offset 4), so
+    // the vdC walk SKIPS already-used residues (round-5 ADVICE) — the
+    // first hits of each residue keep their original order, and with
+    // only w-1 distinct non-zero residues available, the loop depth is
+    // capped at offsets.length-1 below (narrow segments — large
+    // maxHamming — simply stop re-splitting sooner; recall is
     // unaffected, oversize buckets just pay their quadratic output).
-    def rotOf(depth: Int): Int = {
-      if (depth == 0) return 0 // level 0 IS the canonical segmentation
-      var frac = 0.0
-      var d = depth
-      var denom = 2.0
-      while (d > 0) { frac += (d % 2) / denom; denom *= 2; d /= 2 }
-      1 + (frac * (w - 1)).toInt
+    val offsets: Array[Int] = {
+      def vdc(k0: Int): Double = {
+        var frac = 0.0; var k = k0; var denom = 2.0
+        while (k > 0) { frac += (k % 2) / denom; denom *= 2; k /= 2 }
+        frac
+      }
+      val out = scala.collection.mutable.ArrayBuffer(0) // depth 0 IS canonical
+      val used = scala.collection.mutable.Set(0)
+      var k = 1
+      // 4w dyadic fractions land >= 2 per residue interval, so every
+      // residue 1..w-1 is reached before the walk cap
+      while (out.size < w && k <= 4 * w) {
+        val cand = 1 + (vdc(k) * (w - 1)).toInt
+        if (!used(cand)) { used += cand; out += cand }
+        k += 1
+      }
+      out.toArray
     }
+    def rotOf(depth: Int): Int = offsets(depth)
 
     def explodeLevel(df: DataFrame, depth: Int): DataFrame = {
       val rot = rotOf(depth)
@@ -439,13 +528,19 @@ object Dedup {
       // cache eagerly before any of them can race — but unlike
       // checkpoint blocks, a persisted partition lost with its executor
       // recomputes from lineage (depth-bounded here) instead of killing
-      // the job. Same reasoning as SparkEntry.M2PayloadStorage.
+      // the job. Same reasoning as `materialize` / M2PayloadStorage.
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      // every per-level persist is collected here and dropped before
+      // returning (round-5 ADVICE: repeated d4/skew runs in one session
+      // were accumulating never-unpersisted frontier/oversize blocks)
+      val perLevel = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       frontier = frontier.persist(lvl)
+      perLevel += frontier
       var done = List.empty[DataFrame]
       var depth = 1
-      // only w-1 distinct non-zero segmentation offsets exist (rotOf)
-      val depthCap = math.min(maxDepth, w - 1)
+      // only offsets.length-1 distinct non-zero segmentation offsets
+      // exist (see the vdC walk above; w-1 when the walk covers all)
+      val depthCap = math.min(maxDepth, offsets.length - 1)
       var growing = true
       while (growing && depth <= depthCap) {
         // the oversize list is bounded by n/maxBucket keys — broadcast
@@ -453,6 +548,7 @@ object Dedup {
         val over = frontier.groupBy("bkey").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket).select("bkey")
           .persist(lvl)
+        perLevel += over
         if (over.count() == 0) growing = false
         else {
           // using-column joins move the key FIRST in column order, and
@@ -463,10 +559,26 @@ object Dedup {
             explodeLevel(frontier.join(broadcast(over), Seq("bkey"), "left_semi")
                 .select("doc_id", "sig", "bkey"), depth)
               .persist(lvl)
+          perLevel += frontier
           depth += 1
         }
       }
-      done.foldLeft(frontier)(_ union _)
+      if (done.isEmpty) {
+        // no oversize bucket: the level-0 frontier IS the result and is
+        // already fully cached by the over.count() scan — keep only it
+        // alive (registered for releaseCaches) and drop the empty-over
+        // helper persists
+        synchronized { tracked += frontier }
+        perLevel.filter(_ ne frontier).foreach(_.unpersist())
+        frontier
+      } else {
+        // materialize the final union, then drop EVERY per-level cache:
+        // consumers read the one registered result table, not the
+        // recursion's intermediates
+        val result = materialize(done.foldLeft(frontier)(_ union _))
+        perLevel.foreach(_.unpersist())
+        result
+      }
     }
   }
 

@@ -23,5 +23,17 @@ class BenchSkewSpec extends AnyFunSuite {
     // and the re-split delivers a real cut on both paths
     assert(s3On * 2 <= s3Off, s"s3 re-split cut too weak: $s3On vs $s3Off")
     assert(d4On * 8 <= d4Off, s"d4 re-split cut too weak: $d4On vs $d4Off")
+    // d2 (PPJoin): the df-hub makes the naive shingle self-join
+    // quadratic; the prefix filter must kill it wholesale, and the
+    // positional filter must additionally cut the size-asymmetric
+    // small-vs-big candidates the prefix filter passes
+    val d2None = m("skew_d2_candidates_nofilter")
+    val d2Prefix = m("skew_d2_candidates_prefix")
+    val d2Full = m("skew_d2_candidates_full")
+    assert(d2None >= 1000000, s"d2 hub not dense enough: $d2None")
+    assert(d2Prefix * 100 <= d2None,
+      s"d2 prefix cut too weak: $d2Prefix vs $d2None")
+    assert(d2Full <= 0.8 * d2Prefix,
+      s"d2 positional cut too weak: $d2Full vs $d2Prefix")
   }
 }
