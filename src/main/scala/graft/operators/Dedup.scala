@@ -282,8 +282,6 @@ object Dedup {
     val spark = docs.sparkSession
     import spark.implicits._
     val idType = docs.schema(idCol).dataType
-    val rowsPerBand = perms / bands
-    require(bands * rowsPerBand == perms, "bands must divide perms")
     // materialized once (three consumers: banding scan + the two
     // candidate verify joins) under the same recoverability contract as
     // jaccardPairs' shingle table — see `materialize`
@@ -296,24 +294,7 @@ object Dedup {
     // one (band, bandHash) row per band — ids only; shingling + minhash
     // run exactly ONCE over the corpus, and the band self-join never
     // shuffles document content
-    val banded = tokenized
-      .mapPartitions(_.flatMap { case (id, ts) =>
-        val shingles = shingleSet(ts, n)
-        if (shingles.isEmpty) Iterator.empty
-        else {
-          val sig = minhashSig(shingles, perms)
-          (0 until bands).iterator.map { b =>
-            var bh = b
-            var r = 0
-            while (r < rowsPerBand) {
-              bh = scala.util.hashing.MurmurHash3.mix(bh, sig(b * rowsPerBand + r))
-              r += 1
-            }
-            (id, b, scala.util.hashing.MurmurHash3.finalizeHash(bh, rowsPerBand))
-          }
-        }
-      })
-      .toDF("doc_id", "band", "bh")
+    val banded = minhashBandRows(tokenized, n, perms, bands)
     // pair ordering on the NATIVE id type — string compare would order
     // ("10" < "2") and silently disagree with jaccardPairs on numeric ids
     val cand = banded.as("a").join(banded.as("b"),
@@ -347,6 +328,38 @@ object Dedup {
       .toDF("id_a", "id_b", "jaccard")
       .withColumn("id_a", col("id_a").cast(idType))
       .withColumn("id_b", col("id_b").cast(idType))
+  }
+
+  /** (doc_id, band, bh) minhash-LSH banding rows from a tokenized
+    * (id, tokens) dataset — the scan stage of minhashNearDups, exposed
+    * so CROSS-corpus probes (streaming arrivals vs a committed corpus,
+    * StreamExtract.dedupAgainstSnapshot) band both sides with identical
+    * hashing. Empty-shingle docs emit no rows.
+    */
+  def minhashBandRows(tokenized: org.apache.spark.sql.Dataset[(String, Seq[String])],
+      n: Int, perms: Int, bands: Int): DataFrame = {
+    val spark = tokenized.sparkSession
+    import spark.implicits._
+    val rowsPerBand = perms / bands
+    require(bands * rowsPerBand == perms, "bands must divide perms")
+    tokenized
+      .mapPartitions(_.flatMap { case (id, ts) =>
+        val shingles = shingleSet(ts, n)
+        if (shingles.isEmpty) Iterator.empty
+        else {
+          val sig = minhashSig(shingles, perms)
+          (0 until bands).iterator.map { b =>
+            var bh = b
+            var r = 0
+            while (r < rowsPerBand) {
+              bh = scala.util.hashing.MurmurHash3.mix(bh, sig(b * rowsPerBand + r))
+              r += 1
+            }
+            (id, b, scala.util.hashing.MurmurHash3.finalizeHash(bh, rowsPerBand))
+          }
+        }
+      })
+      .toDF("doc_id", "band", "bh")
   }
 
   /** FNV-1a 64-bit hash over code points. Chosen over murmur because it

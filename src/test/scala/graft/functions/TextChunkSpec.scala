@@ -89,6 +89,47 @@ class TextChunkSpec extends AnyFunSuite {
       "shard 1 must restart its running count")
   }
 
+  test("c3 split-packing: sequences are budget-exact, parts rebuild chunks") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("c3pack").toString
+    // same fixture as the c2 test: rollover inside shard 0 (doc 2's 300
+    // tokens straddle several 256-token sequences) + a shard reset
+    val docs = Seq(0L -> 50, 1L -> 10, 2L -> 300, 3L -> 77, 4096L -> 40)
+    docs.map { case (id, n) =>
+      (id, (1 to n).map(i => s"d${id}t$i").mkString(" "))
+    }.toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = graft.SparkEntry.queries("c3_pack_sequences")(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    // every part fits its sequence
+    rows.foreach { case (_, _, _, _, _, off, take) =>
+      assert(take >= 1 && off >= 0 && off + take <= 256,
+        s"part out of budget: off=$off take=$take")
+    }
+    // every sequence's parts sum to EXACTLY the budget, except each
+    // shard's final (ragged) sequence
+    val perSeq = rows.groupBy(r => (r._4, r._5))
+      .view.mapValues(_.map(_._7).sum).toMap
+    val lastSeq = rows.groupBy(_._4).view.mapValues(_.map(_._5).max).toMap
+    perSeq.foreach { case ((shard, seq), tot) =>
+      if (seq < lastSeq(shard)) assert(tot == 256,
+        s"sequence ($shard,$seq) not budget-exact: $tot")
+      else assert(tot <= 256, s"final sequence ($shard,$seq) overflows: $tot")
+    }
+    // parts of one chunk are contiguous and rebuild its token count
+    val c2 = graft.SparkEntry.queries("c2_sequence_pack")(spark, tmp)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    rows.groupBy(r => (r._1, r._2)).foreach { case (key, parts) =>
+      assert(parts.map(_._7).sum == c2(key),
+        s"chunk $key parts do not sum to its n_tok")
+      assert(parts.map(_._3).sorted.toSeq == (0 until parts.length).toSeq,
+        s"chunk $key part indices not dense")
+    }
+    // the straddle case is actually exercised
+    assert(rows.exists(_._3 > 0), "no chunk straddled a boundary")
+  }
+
   test("null text propagates to a null array (caller filters)") {
     import spark.implicits._
     val n = Seq(Tuple1(null: String)).toDF("text")

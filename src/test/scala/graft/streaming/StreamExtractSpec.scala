@@ -46,6 +46,55 @@ class StreamExtractSpec extends AnyFunSuite {
     assert(a.exceptAll(e).count() == 0 && e.exceptAll(a).count() == 0)
   }
 
+  test("restarted stream drops duplicates of PREVIOUSLY committed docs") {
+    import spark.implicits._
+    val in = Files.createTempDirectory("graft-incdedup-in").toString
+    val storeRoot = Files.createTempDirectory("graft-incdedup-store").toString
+    val ckpt = Files.createTempDirectory("graft-incdedup-ckpt").toString
+    val goldens = CorpusGen.goldens(11)
+    goldens.take(10).map(_.input).toDS()
+      .coalesce(1).write.mode("append").parquet(in)
+    val q1 = StreamExtract.extractStream(spark, in, storeRoot, ckpt,
+      ExtractConfig(partitions = 4), dedupCommitted = true)
+    q1.awaitTermination()
+    assert(Job.readExtracted(spark, new SnapshotStore(storeRoot))
+      .count() == 10L)
+
+    // batch 2 after restart: one genuinely new doc + an exact content
+    // duplicate of committed doc 0 under a FRESH doc_id — a watermark-
+    // window dedup cannot see it (different batch, different id); the
+    // committed-corpus probe must
+    val dup = goldens.head.input.copy(doc_id = "dup-of-0")
+    (goldens.drop(10).map(_.input) :+ dup).toDS()
+      .coalesce(1).write.mode("append").parquet(in)
+    val q2 = StreamExtract.extractStream(spark, in, storeRoot, ckpt,
+      ExtractConfig(partitions = 4), dedupCommitted = true)
+    q2.awaitTermination()
+    val table = Job.readExtracted(spark, new SnapshotStore(storeRoot))
+    val ids = table.select($"doc_id").as[String].collect().toSet
+    assert(table.count() == 11L, ids.toSeq.sorted.mkString(","))
+    assert(!ids.contains("dup-of-0"))
+    assert(ids.contains(goldens(10).input.doc_id))
+
+    // near-dup probe layer (batch API over the same store): a row one
+    // appended token away from a committed doc's content is caught by
+    // the band probe + exact-Jaccard verify; an unrelated row survives
+    val base = table.as[ExtractedDoc].collect()
+      .maxBy(_.spans.map(s => Option(s.text).map(_.length).getOrElse(0)).sum)
+    val nearSpans = base.spans.zipWithIndex.map { case (sp, i) =>
+      if (i == 0) sp.copy(text = sp.text + " zzz") else sp
+    }
+    val batch = Seq(
+      ExtractedDoc("near-dup", nearSpans, nearSpans.size, true, null),
+      ExtractedDoc("fresh",
+        Seq(OutSpan("html", "completely different words entirely", null, 0)),
+        1, true, null)).toDS()
+    val out = StreamExtract.dedupAgainstSnapshot(batch,
+        new SnapshotStore(storeRoot), nearDup = true, minJ = 0.5)
+      .select($"doc_id").as[String].collect().toSet
+    assert(out == Set("fresh"), out.mkString(","))
+  }
+
   test("watermarked sliding-window aggregation over events") {
     val events = spark.read
       .parquet("/root/testdata/sf0.001/events.parquet")
