@@ -225,6 +225,50 @@ class MediaSpec extends AnyFunSuite {
     }
   }
 
+  test("tiff strip reader: real resample preserves a known gradient") {
+    val (w, h, ch) = (128, 64, 3)
+    val px = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * ch
+      px(o) = (x * 255 / (w - 1)).toByte     // red follows x
+      px(o + 1) = (y * 255 / (h - 1)).toByte // green follows y
+      px(o + 2) = 128.toByte                 // blue constant
+    }
+    val tiff = Media.tiffRasterBytes(w, h, ch, px)
+    // the builder emits a decodable image: our own reader inverts it
+    assert(Media.tiffDecodeRaster(tiff).map(t => (t._1, t._2, t._3))
+      .contains((w, h, ch)))
+    // and the header parsers still read it (kind/dims/channels)
+    val meta = Media.decode("t", tiff)
+    assert((meta.kind, meta.width, meta.height, meta.channels) ==
+      ("tiff", w, h, ch))
+    val resized = Media.resizeOne(tiff, 32, 32)
+    val m = Media.decode("t", resized)
+    assert((m.kind, m.width, m.height) == ("tiff", 32, 16))
+    val Some((rw, rh, rch, out)) = Media.tiffDecodeRaster(resized)
+    assert((rw, rh, rch) == (32, 16, 3))
+    // box-filter output must track the linear gradients — a decimation
+    // stub (or any byte-shuffling fake) cannot satisfy this
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val o = (y * 32 + x) * 3
+      val (r, g, b) = (out(o) & 0xFF, out(o + 1) & 0xFF, out(o + 2) & 0xFF)
+      assert(math.abs(r - x * 4 * 255.0 / (w - 1)) <= 8, s"red at ($x,$y)=$r")
+      assert(math.abs(g - y * 4 * 255.0 / (h - 1)) <= 8, s"green at ($x,$y)=$g")
+      assert(b == 128, s"blue at ($x,$y)=$b")
+    }
+    // greyscale single-strip round trip (inline BitsPerSample branch)
+    val grey = Array.tabulate(16 * 8)(i => (i % 251).toByte)
+    val gTiff = Media.tiffRasterBytes(16, 8, 1, grey)
+    assert(Media.tiffDecodeRaster(gTiff).map(_._4.toSeq)
+      .contains(grey.toSeq))
+    // the m1/m2 FIXTURE tiff (header + opaque body, no strip tags) must
+    // keep taking the rebuild stub — m2's hash depends on it
+    val fixture = Media.tiffBytes(100, 80, 3, Array.fill(999)(7.toByte))
+    assert(Media.tiffDecodeRaster(fixture).isEmpty)
+    val stub = Media.resizeOne(fixture, 64, 64)
+    assert(Media.decode("s", stub).width == 64)
+  }
+
   test("raster budget gate keeps forged huge headers out of imageio") {
     // ImageIO allocates the FULL claimed raster before scaling, and an
     // OutOfMemoryError bypasses the Exception soft-fail — so the gate
