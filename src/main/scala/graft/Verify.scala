@@ -7,10 +7,16 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // determinism-soak hook: the driver's hash gate assumes results are
+    // bit-stable across parallelism AND across the ANSI dialect (Spark 4
+    // defaults spark.sql.ansi.enabled=true; a cluster operator may turn
+    // it off) — SPARK_GRAFT_ANSI lets the soak run both modes
+    val ansi = sys.env.getOrElse("SPARK_GRAFT_ANSI", "true")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.ansi.enabled", ansi)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
