@@ -241,7 +241,8 @@ object Bench {
   /** Dev-probe access to the bench's session shape (graft.RawScale). */
   private[graft] def sessionForDev(cores: Int): SparkSession = session(cores)
 
-  private def sessionFor(master: String, parts: Int): SparkSession = {
+  private def sessionFor(master: String, parts: Int,
+      splitBytes: Long = 8L * 1024 * 1024): SparkSession = {
     val classes = // executor classpath for local-cluster executor JVMs
       getClass.getProtectionDomain.getCodeSource.getLocation.getPath
     val s = SparkSession.builder()
@@ -253,8 +254,9 @@ object Bench {
       // ~9 MB parquet files: without this the 4-core session reads the
       // corpus as only 4 input splits and a straggler tail pollutes the
       // N-side of the scaling ratio; 8 MB gives BOTH levels the same
-      // >= 64-split structure
-      .config("spark.sql.files.maxPartitionBytes", (8 * 1024 * 1024).toString)
+      // >= 64-split structure (raw windows run 4 MB — see
+      // measureRawWindow)
+      .config("spark.sql.files.maxPartitionBytes", splitBytes.toString)
       .config("spark.executor.extraClassPath", classes)
       // executor JVMs (local-cluster mode): same GC posture as the
       // driver, each sized for its own 4 cores like a real cluster node
@@ -322,8 +324,9 @@ object Bench {
     extractionTrialsOn(cores, trials, CorpusDir, ExtractDocs)
 
   private def extractionTrialsOn(cores: Int, trials: Int, dir: String,
-      docs: Long): Seq[Double] = {
-    val spark = session(cores)
+      docs: Long,
+      splitBytes: Long = 8L * 1024 * 1024): Seq[Double] = {
+    val spark = sessionFor(s"local[$cores]", cores * 2, splitBytes)
     import spark.implicits._
     val cfg = ExtractConfig(partitions = cores * 2)
     def run(): Unit =
@@ -515,8 +518,15 @@ object Bench {
   private def measureRawWindow(): RawWindow = {
     val dir = ensureRawCorpus()
     val cal4 = cpuCalibration(4)
-    val thr4 = extractionTrialsOn(4, 2, dir, RawDocs).max
-    val thr16 = extractionTrialsOn(16, 2, dir, RawDocs).max
+    // 4 MB splits for the raw evidence: at 8 MB the 16-thread level
+    // reads the 2 GB raw corpus as 256 splits = 16 task waves, and the
+    // last-wave straggler tail costs ~3% of thr16 but only ~0.4% of
+    // thr4 (64 waves) — pure measurement-granularity bias against the
+    // ratio. 4 MB doubles the wave count at BOTH levels (same input,
+    // same split rule), halving the tail asymmetry.
+    val rawSplit = 4L * 1024 * 1024
+    val thr4 = extractionTrialsOn(4, 2, dir, RawDocs, rawSplit).max
+    val thr16 = extractionTrialsOn(16, 2, dir, RawDocs, rawSplit).max
     val cal16 = cpuCalibration(16)
     val w = RawWindow(cal4, cal16, thr4, thr16, RawDocs)
     System.err.println(f"[bench] raw retry window: capT=${w.capT}%.2f " +
