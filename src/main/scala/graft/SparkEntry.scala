@@ -1371,8 +1371,11 @@ object SparkEntry {
 
     "d3_minhash_neardups" -> jaccardOracle(0.2),
 
-    // same committed/arrival construction, same normalization, plain
-    // NOT IN over the committed fingerprints
+    // same committed/arrival construction, same normalization. NOT
+    // EXISTS, not NOT IN: a left_anti join KEEPS a NULL-fingerprint
+    // arrival and IGNORES NULL committed fingerprints, which is
+    // NOT EXISTS semantics exactly — NOT IN would return zero rows the
+    // moment any committed text were NULL
     "i1_incremental_dedup" ->
       s"""WITH committed AS (
            SELECT md5($norm) AS cfp FROM documents WHERE doc_id % 4 <> 3),
@@ -1382,7 +1385,8 @@ object SparkEntry {
            FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
            WHERE d.doc_id % 4 = 3)
          SELECT doc_id, md5($norm) AS fp FROM arrivals
-         WHERE md5($norm) NOT IN (SELECT cfp FROM committed)
+         WHERE NOT EXISTS (
+           SELECT 1 FROM committed WHERE cfp = md5($norm))
          ORDER BY doc_id""",
 
     "d4_simhash_neardups" ->

@@ -99,6 +99,11 @@ object Dedup {
     *   5. the (tiny) survivor set is re-verified against the full
     *      string shingle sets with the exact kernel, so the output is
     *      bit-exact regardless of hash collisions.
+    *
+    * Materializes a corpus-sized shingle table (persist, tracked —
+    * see the contract at the top of this object): long-lived sessions
+    * call [[releaseCaches]] after the consuming action, or repeated
+    * calls accumulate cached blocks.
     */
   def jaccardPairs(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJ: Double = 0.5): DataFrame = {
@@ -275,6 +280,10 @@ object Dedup {
     * shingle Jaccard. bands*rowsPerBand must equal perms. Pair order
     * (id_a < id_b) and returned id types follow the ORIGINAL id column
     * type (same contract as jaccardPairs, so d2/d3 outputs join cleanly).
+    *
+    * Materializes a corpus-sized token table (persist, tracked — see
+    * the contract at the top of this object): long-lived sessions call
+    * [[releaseCaches]] after the consuming action.
     */
   def minhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, perms: Int = 64, bands: Int = 16,
@@ -613,6 +622,10 @@ object Dedup {
     * EXACT output (recall guaranteed by pigeonhole blocking — recursive
     * under maxBucket, see simhashBuckets — precision by the explicit
     * hamming filter).
+    *
+    * With maxBucket > 0, simhashBuckets persists its re-split
+    * frontiers (tracked): long-lived sessions call [[releaseCaches]]
+    * after the consuming action.
     */
   def simhashNearDups(docs: DataFrame, textCol: String, idCol: String,
       maxHamming: Int = 3, maxBucket: Int = 0, maxDepth: Int = 3): DataFrame =
@@ -744,6 +757,11 @@ object Dedup {
     * Documents in no pair pass through untouched. For 10^9+ corpora
     * swap jaccardPairs for minhashNearDups (same pair contract) — the
     * clustering and anti-join stages are shared.
+    *
+    * Via jaccardPairs this materializes tracked corpus-sized tables:
+    * long-lived sessions call [[releaseCaches]] after the consuming
+    * action (the returned kept-docs frame is itself lazy — run or
+    * persist it FIRST, then release).
     */
   def dedupCorpus(docs: DataFrame, textCol: String, idCol: String,
       n: Int = 3, minJ: Double = 0.5,

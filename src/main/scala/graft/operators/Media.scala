@@ -304,13 +304,24 @@ object Media {
       def u32(o: Int) = if (little) le32(b, o) else be32(b, o)
       val ifd = u32(4)
       val n = u16(ifd)
-      var (w, h, ch, comp, rows) = (0, 0, 1, 1, Int.MaxValue)
+      var (w, h, ch, comp) = (0, 0, 1, 1)
+      var planar = 1 // PlanarConfiguration default: chunky (interleaved)
       var bitsOk = true
       var offE = -1
       var cntE = -1
+      // Tag-count cap: values() materializes the array eagerly, so an
+      // in-bounds but absurd count (e.g. 32M SHORTs inside a 64 MB
+      // blob) would allocate hundreds of MB of boxed longs BEFORE any
+      // validity check — the OOM class RasterPixelBudget exists to
+      // prevent. 64k strips is far beyond anything the accepted
+      // single-plane uncompressed layout needs; a count of 0 or above
+      // the cap yields an empty Seq and the validity checks below
+      // reject the entry.
+      val maxTagCount = 1 << 16
       def values(e: Int): Seq[Long] = { // SHORT/LONG value array of entry e
         val typ = u16(e + 2)
         val count = u32(e + 4)
+        if (count <= 0 || count > maxTagCount) return Seq.empty
         val size = if (typ == 3) 2 else 4
         def at(o: Int): Long =
           (if (typ == 3) u16(o) else u32(o)).toLong & 0xFFFFFFFFL
@@ -321,24 +332,36 @@ object Media {
           (0 until count).map(i => at(base + i * size))
         }
       }
+      // malformed zero-count entry -> -1 -> rejected by the validity
+      // checks (never .head: a NoSuchElementException here would kill
+      // the task, breaking the one-bad-blob contract)
+      def value1(e: Int): Int =
+        values(e).headOption.map(_.toInt).getOrElse(-1)
       var k = 0
       while (k < n) {
         val e = ifd + 2 + k * 12
         u16(e) match {
-          case 256 => w = values(e).head.toInt
-          case 257 => h = values(e).head.toInt
-          case 258 => bitsOk = values(e).forall(_ == 8L)
-          case 259 => comp = values(e).head.toInt
+          case 256 => w = value1(e)
+          case 257 => h = value1(e)
+          case 258 => bitsOk = values(e) match {
+            case Seq() => false
+            case vs => vs.forall(_ == 8L)
+          }
+          case 259 => comp = value1(e)
           case 273 => offE = e
-          case 277 => ch = values(e).head.toInt
-          case 278 => rows = values(e).head.toInt
+          case 277 => ch = value1(e)
+          case 284 => planar = value1(e)
           case 279 => cntE = e
           case _ => ()
         }
         k += 1
       }
       val total = w.toLong * h * ch
+      // planar != 1 (separate channel planes) would decode byte-valid
+      // but channel-SCRAMBLED through the interleaved resampler — must
+      // take the rebuild-stub fallback, not a silently wrong raster
       if (w <= 0 || h <= 0 || ch <= 0 || comp != 1 || !bitsOk ||
+          (planar != 1 && ch > 1) ||
           offE < 0 || cntE < 0 || total > RasterPixelBudget * 4)
         return None
       val offs = values(offE)

@@ -74,7 +74,8 @@ object StreamExtract {
               dedupAgainstSnapshot(raw, store, nearDup = nearDupProbe)
             else raw
           val (dataDir, auditDir) = store.newWriteDirs(bucket)
-          out.write.parquet(dataDir)
+          try out.write.parquet(dataDir)
+          finally releaseBatchCaches() // dedup's per-batch materializations
           val audit = Pipeline.auditRows(acc)
           batch.sparkSession.createDataset(audit).coalesce(1)
             .write.parquet(auditDir)
@@ -99,10 +100,45 @@ object StreamExtract {
     * reduced to distinct fingerprints map-side before the anti-join.
     */
   def dropCommittedExact(arrivals: DataFrame, committed: DataFrame,
-      content: DataFrame => org.apache.spark.sql.Column): DataFrame = {
+      content: DataFrame => org.apache.spark.sql.Column): DataFrame =
+    dropCommittedExact(arrivals, committed, content, content)
+
+  /** Two-accessor variant: the arrival and committed sides may carry
+    * their content in differently-shaped columns (dedupAgainstSnapshot
+    * pre-projects the committed side once so its scan is shared).
+    */
+  def dropCommittedExact(arrivals: DataFrame, committed: DataFrame,
+      aContent: DataFrame => org.apache.spark.sql.Column,
+      cContent: DataFrame => org.apache.spark.sql.Column): DataFrame = {
     val fp = graft.functions.TextFunctions.fingerprint _
-    val commFp = committed.select(fp(content(committed)).as("__fp")).distinct()
-    arrivals.join(commFp, fp(content(arrivals)) === col("__fp"), "left_anti")
+    val commFp =
+      committed.select(fp(cContent(committed)).as("__fp")).distinct()
+    arrivals.join(commFp, fp(aContent(arrivals)) === col("__fp"), "left_anti")
+  }
+
+  /** Per-micro-batch materializations (see dedupAgainstSnapshot):
+    * tracked so extractStream releases them after each batch's write —
+    * same recoverability/cleanup contract as Dedup's registry.
+    */
+  private val tracked =
+    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+
+  private def materialize(df: DataFrame): DataFrame = {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    p.count() // persist is lazy; sibling consumers would double-compute
+    synchronized { tracked += p }
+    p
+  }
+
+  /** Unpersist every table dedupAgainstSnapshot materialized. Called by
+    * extractStream after each batch's output write; external batch
+    * callers should call it after their consuming action too.
+    */
+  def releaseBatchCaches(): Unit = synchronized {
+    tracked.foreach(df =>
+      try df.unpersist()
+      catch { case scala.util.control.NonFatal(_) => () })
+    tracked.clear()
   }
 
   /** Incremental ingest dedup against the COMMITTED corpus (round-4
@@ -123,6 +159,10 @@ object StreamExtract {
     * appended at commit time — the Iceberg-table analogs), which turns
     * the per-batch cost into (batch x index) joins instead of a
     * committed-corpus rescan. The join shapes are identical either way.
+    *
+    * Materializes its multi-consumer intermediates (tracked);
+    * extractStream releases them after each batch write — standalone
+    * callers should call `releaseBatchCaches()` after consuming.
     */
   def dedupAgainstSnapshot(batch: Dataset[ExtractedDoc],
       store: graft.snapshot.SnapshotStore, nearDup: Boolean = false,
@@ -131,24 +171,41 @@ object StreamExtract {
     val spark = batch.sparkSession
     import spark.implicits._
     if (store.latest.isEmpty) return batch
-    val committed = graft.Job.readData(spark, store)
-    var kept = dropCommittedExact(batch.toDF(), committed, contentOf)
+    // one committed-corpus scan, shared by all consumers (the exact
+    // anti-join, the band probe, and the verify join each read this
+    // projection — unmaterialized, each would re-scan the store and
+    // re-derive the content column; this is the per-micro-batch HOT
+    // path). Released by extractStream via releaseBatchCaches().
+    val committedAll = graft.Job.readData(spark, store)
+    val committed = materialize(committedAll
+      .select(col("doc_id").cast("string").as("doc_id"),
+        contentOf(committedAll).as("content")))
+    var kept = dropCommittedExact(batch.toDF(), committed,
+      contentOf, df => df("content"))
     if (nearDup) {
       import graft.operators.Dedup
       val toks = graft.functions.TextFunctions.tokens _
-      def tokenized(df: DataFrame) = df
-        .select(col("doc_id").cast("string"), toks(contentOf(df)))
-        .as[(String, Seq[String])]
-      val cand = Dedup.minhashBandRows(tokenized(kept), n, perms, bands)
+      // kept embeds the batch extraction + the exact anti-join and has
+      // three consumers below (bands, verify join, final anti-join) —
+      // materialize once; likewise each side's tokenization feeds both
+      // the band probe and the verify join
+      kept = materialize(kept)
+      val keptToks = materialize(kept
+        .select(col("doc_id").cast("string").as("doc_id"),
+          toks(contentOf(kept)).as("toks")))
+      val commToks = materialize(committed
+        .select(col("doc_id"), toks(col("content")).as("toks")))
+      def tokenized(df: DataFrame) = df.as[(String, Seq[String])]
+      val cand = Dedup.minhashBandRows(tokenized(keptToks), n, perms, bands)
         .as("a")
-        .join(Dedup.minhashBandRows(tokenized(committed), n, perms, bands)
+        .join(Dedup.minhashBandRows(tokenized(commToks), n, perms, bands)
           .as("b"),
           col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
         .select(col("a.doc_id").as("aid"), col("b.doc_id").as("bid"))
         .dropDuplicates("aid", "bid")
       val dupIds = cand
-        .join(tokenized(kept).toDF("aid", "ta"), "aid")
-        .join(tokenized(committed).toDF("bid", "tb"), "bid")
+        .join(keptToks.toDF("aid", "ta"), "aid")
+        .join(commToks.toDF("bid", "tb"), "bid")
         .select("aid", "ta", "tb")
         .as[(String, Seq[String], Seq[String])]
         .mapPartitions(_.flatMap { case (aid, ta, tb) =>
