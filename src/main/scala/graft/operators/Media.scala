@@ -421,6 +421,332 @@ object Media {
     out
   }
 
+  // ---------------------------------------------- WebP lossless (VP8L)
+  //
+  // From-scratch codec for the LITERAL-ONLY subset of the public VP8L
+  // lossless bitstream ("WebP Lossless Bitstream Specification"): no
+  // transforms, no color cache, no meta-huffman, no LZ77 backrefs —
+  // every pixel is an (green, red, blue, alpha) literal under plain
+  // canonical huffman codes. webpRasterBytes emits that subset (a
+  // stream any standards WebP decoder reads); webpDecodeRaster inverts
+  // exactly it and returns None for anything richer, so foreign webp
+  // payloads keep the rebuild-stub fallback. This lifts webp out of
+  // the byte-decimation stub the same way the round-5 TIFF strip
+  // reader lifted tiff; lossy VP8 (boolean arithmetic coding) remains
+  // the one genuinely-out-of-scope codec.
+
+  /** LSB-first bit accumulator (the RIFF/VP8L convention: bits fill
+    * each byte from bit 0 upward). Huffman CODE bits are written
+    * MSB-of-code-first (`writeCode`) — the deflate convention VP8L
+    * shares: the first bit a tree-walking decoder reads is the code's
+    * most significant bit.
+    */
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def writeBits(v: Int, n: Int): Unit = {
+      var i = 0
+      while (i < n) {
+        cur |= ((v >>> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBits((code >>> i) & 1, 1); i -= 1 }
+    }
+    def bytes: Array[Byte] =
+      if (nbits > 0) (buf :+ cur.toByte).toArray else buf.toArray
+  }
+
+  /** LSB-first bit reader over a VP8L chunk payload. readBits returns
+    * the first bit read in the RESULT's bit 0 (multi-bit fields are
+    * little-endian), matching the spec's ReadBits.
+    */
+  private final class BitReader(b: Array[Byte], private var pos: Int) {
+    private var bitPos = 0
+    def readBits(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        v |= ((b(pos) >> bitPos) & 1) << i
+        bitPos += 1
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+  }
+
+  /** A decoded prefix code. Trivial = one symbol, zero bits per use
+    * (VP8L's 1-symbol simple code); Pair = two symbols, one bit.
+    */
+  private sealed trait Huff { def next(br: BitReader): Int }
+  private final case class Trivial(sym: Int) extends Huff {
+    def next(br: BitReader): Int = sym
+  }
+  private final case class Pair(s0: Int, s1: Int) extends Huff {
+    def next(br: BitReader): Int = if (br.readBits(1) == 0) s0 else s1
+  }
+
+  /** Canonical prefix code from code lengths (deflate/VP8L rules:
+    * shorter codes first, ties by symbol order). Decodes bit-by-bit via
+    * the count/first-code arithmetic; a code that walks past maxLen is
+    * malformed and throws (callers soft-fail to None).
+    */
+  private final class Canonical(lengths: Array[Int]) extends Huff {
+    private val maxLen = lengths.max
+    private val count = new Array[Int](maxLen + 1)
+    lengths.foreach(l => if (l > 0) count(l) += 1)
+    private val first = new Array[Int](maxLen + 1)
+    private val offset = new Array[Int](maxLen + 1)
+    locally {
+      var code = 0
+      var idx = 0
+      var l = 1
+      while (l <= maxLen) {
+        first(l) = code
+        offset(l) = idx
+        code = (code + count(l)) << 1
+        idx += count(l)
+        l += 1
+      }
+    }
+    private val sorted = {
+      val out = new Array[Int](lengths.count(_ > 0))
+      val pos = offset.clone()
+      var s = 0
+      while (s < lengths.length) {
+        val l = lengths(s)
+        if (l > 0) { out(pos(l)) = s; pos(l) += 1 }
+        s += 1
+      }
+      out
+    }
+    def next(br: BitReader): Int = {
+      var code = 0
+      var l = 0
+      while (l < maxLen) {
+        code = (code << 1) | br.readBits(1)
+        l += 1
+        if (code >= first(l) && code - first(l) < count(l))
+          return sorted(offset(l) + code - first(l))
+      }
+      throw new IndexOutOfBoundsException("malformed prefix code")
+    }
+  }
+
+  private def buildCanonical(lengths: Array[Int]): Huff = {
+    val used = lengths.indices.filter(lengths(_) > 0)
+    if (used.length == 1) Trivial(used.head) else new Canonical(lengths)
+  }
+
+  /** Spec order in which the code-length code's own 3-bit lengths are
+    * stored (most-useful symbols first, like deflate's).
+    */
+  private val ClcOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15, 16)
+
+  /** One prefix code per the spec's ReadHuffmanCode: simple form (1-2
+    * symbols) or normal form (code-length code + run-length-coded code
+    * lengths with repeat symbols 16/17/18 and the optional max_symbol
+    * shortcut).
+    */
+  private def readHuffCode(br: BitReader, alphabet: Int): Huff =
+    if (br.readBits(1) == 1) { // simple
+      val twoSymbols = br.readBits(1) == 1
+      val s0 = if (br.readBits(1) == 1) br.readBits(8) else br.readBits(1)
+      if (twoSymbols) Pair(s0, br.readBits(8)) else Trivial(s0)
+    } else {
+      val ncl = 4 + br.readBits(4)
+      val clLen = new Array[Int](19)
+      var i = 0
+      while (i < ncl) { clLen(ClcOrder(i)) = br.readBits(3); i += 1 }
+      val clCode = buildCanonical(clLen)
+      val toRead =
+        if (br.readBits(1) == 1) { // max_symbol shortcut
+          val nbits = 2 + 2 * br.readBits(3)
+          2 + br.readBits(nbits)
+        } else alphabet
+      val lengths = new Array[Int](alphabet)
+      var sym = 0
+      var prev = 8
+      var remaining = toRead
+      var stop = false
+      while (sym < alphabet && !stop) {
+        if (remaining <= 0) stop = true // rest stay 0
+        else {
+          remaining -= 1
+          val cl = clCode.next(br)
+          if (cl < 16) {
+            lengths(sym) = cl
+            sym += 1
+            if (cl != 0) prev = cl
+          } else {
+            val (rep, v) = cl match {
+              case 16 => (3 + br.readBits(2), prev)
+              case 17 => (3 + br.readBits(3), 0)
+              case _  => (11 + br.readBits(7), 0)
+            }
+            var j = 0
+            while (j < rep && sym < alphabet) {
+              lengths(sym) = v; sym += 1; j += 1
+            }
+          }
+        }
+      }
+      buildCanonical(lengths)
+    }
+
+  /** Real WebP lossless image: RIFF/WEBP container holding a VP8L
+    * chunk whose bitstream codes every pixel as plain huffman literals
+    * — the 256 used literal values of each channel all take 8-bit
+    * canonical codes (a kraft-complete code in which symbol v's code
+    * IS v), written with a two-symbol {0,8} code-length code; a
+    * constant channel (alpha when channels < 4, the never-used
+    * distance code) takes a 1-symbol simple code costing zero bits per
+    * pixel. channels: 1 grey (encoded r=g=b), 3 rgb, 4 rgba. Any
+    * standards VP8L decoder reads the output; webpDecodeRaster below
+    * inverts it exactly (lossless round-trip).
+    */
+  def webpRasterBytes(width: Int, height: Int, channels: Int,
+      pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3 || channels == 4,
+      s"channels must be 1, 3 or 4 (got $channels)")
+    require(width >= 1 && width <= 16384 && height >= 1 && height <= 16384,
+      s"VP8L dims are 14-bit (1..16384): ${width}x$height")
+    require(pixels.length == width.toLong * height * channels,
+      s"raster must be width*height*channels bytes " +
+        s"(${width}x${height}x$channels != ${pixels.length})")
+    val bw = new BitWriter
+    bw.writeBits(width - 1, 14)
+    bw.writeBits(height - 1, 14)
+    bw.writeBits(if (channels == 4) 1 else 0, 1) // alpha_is_used hint
+    bw.writeBits(0, 3) // version
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no color cache
+    bw.writeBits(0, 1) // no meta-huffman (one code group)
+    // normal code, symbols 0..255 at length 8, the rest (green's 24
+    // length prefixes) at 0; code-length code = {0 -> code 0, 8 ->
+    // code 1}, both 1 bit, which needs the first 11 ClcOrder slots
+    // (index 10 is symbol 8)
+    def normal256(alphabet: Int): Unit = {
+      bw.writeBits(0, 1) // normal form
+      bw.writeBits(11 - 4, 4) // num_code_lengths = 11
+      val cl = Array(0, 0, 1, 0, 0, 0, 0, 0, 0, 0, 1) // 17,18,0,1..7,8
+      cl.foreach(v => bw.writeBits(v, 3))
+      bw.writeBits(0, 1) // no max_symbol shortcut: every entry follows
+      var s = 0
+      while (s < alphabet) {
+        bw.writeCode(if (s < 256) 1 else 0, 1) // "8" else "0"
+        s += 1
+      }
+    }
+    def simple1(sym: Int): Unit = {
+      bw.writeBits(1, 1) // simple form
+      bw.writeBits(0, 1) // one symbol
+      if (sym <= 1) { bw.writeBits(0, 1); bw.writeBits(sym, 1) }
+      else { bw.writeBits(1, 1); bw.writeBits(sym, 8) }
+    }
+    normal256(256 + 24) // green (+24 unused length-prefix symbols)
+    normal256(256) // red
+    normal256(256) // blue
+    if (channels == 4) normal256(256) else simple1(255) // alpha
+    simple1(0) // distance (no backrefs are ever coded)
+    val n = width * height
+    var i = 0
+    while (i < n) {
+      val o = i * channels
+      val (r, g, b, a) = channels match {
+        case 1 =>
+          val v = pixels(o) & 0xFF; (v, v, v, 255)
+        case 3 =>
+          (pixels(o) & 0xFF, pixels(o + 1) & 0xFF, pixels(o + 2) & 0xFF, 255)
+        case _ =>
+          (pixels(o) & 0xFF, pixels(o + 1) & 0xFF, pixels(o + 2) & 0xFF,
+            pixels(o + 3) & 0xFF)
+      }
+      // literal order per spec: green, red, blue, alpha; with all-8-bit
+      // canonical codes the code for value v is v itself
+      bw.writeCode(g, 8)
+      bw.writeCode(r, 8)
+      bw.writeCode(b, 8)
+      if (channels == 4) bw.writeCode(a, 8)
+      i += 1
+    }
+    val stream = 0x2F.toByte +: bw.bytes
+    val pad = stream.length % 2 // RIFF chunks pad to even sizes
+    "RIFF".getBytes("US-ASCII") ++
+      le32b(4 + 8 + stream.length + pad) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8L".getBytes("US-ASCII") ++
+      le32b(stream.length) ++ stream ++ Array.fill[Byte](pad)(0)
+  }
+
+  /** From-scratch VP8L decoder for exactly the subset webpRasterBytes
+    * emits: walks the RIFF chunks to VP8L, reads the five prefix codes
+    * (general simple/normal forms), and decodes literal pixels into an
+    * interleaved rgb/rgba raster (3 or 4 channels per the stream's
+    * alpha hint). Returns None — and the caller keeps its rebuild-stub
+    * fallback — on anything beyond the subset: transforms, color
+    * cache, meta-huffman, any backref/cache green symbol, dims over
+    * the pixel budget, or malformed bits (the one-bad-blob-cannot-
+    * kill-the-job contract).
+    */
+  private[graft] def webpDecodeRaster(b: Array[Byte])
+      : Option[(Int, Int, Int, Array[Byte])] = {
+    try {
+      def cc(o: Int, s: String) = s.indices.forall(i => b(o + i) == s(i).toByte)
+      if (b.length < 25 || !cc(0, "RIFF") || !cc(8, "WEBP")) return None
+      var off = 12
+      var payload = -1
+      while (payload < 0 && off + 8 <= b.length) {
+        val sz = le32(b, off + 4)
+        if (sz < 0 || off + 8 + sz > b.length) return None
+        if (cc(off, "VP8L")) payload = off + 8
+        else off += 8 + sz + (sz & 1)
+      }
+      if (payload < 0 || (b(payload) & 0xFF) != 0x2F) return None
+      val br = new BitReader(b, payload + 1)
+      val w = br.readBits(14) + 1
+      val h = br.readBits(14) + 1
+      val alpha = br.readBits(1) == 1
+      if (br.readBits(3) != 0) return None // unknown version
+      if (w.toLong * h > RasterPixelBudget) return None
+      if (br.readBits(1) != 0) return None // transform — out of subset
+      if (br.readBits(1) != 0) return None // color cache — out of subset
+      if (br.readBits(1) != 0) return None // meta-huffman — out of subset
+      val green = readHuffCode(br, 256 + 24)
+      val red = readHuffCode(br, 256)
+      val blue = readHuffCode(br, 256)
+      val alphaC = readHuffCode(br, 256)
+      readHuffCode(br, 40) // distance code: present, never used below
+      val ch = if (alpha) 4 else 3
+      val out = new Array[Byte](w * h * ch)
+      var i = 0
+      val n = w * h
+      while (i < n) {
+        val g = green.next(br)
+        if (g >= 256) return None // backref/cache pixel — out of subset
+        val r = red.next(br)
+        val bl = blue.next(br)
+        val a = alphaC.next(br) // always coded, even when alpha hint = 0
+        val o = i * ch
+        out(o) = r.toByte
+        out(o + 1) = g.toByte
+        out(o + 2) = bl.toByte
+        if (ch == 4) out(o + 3) = a.toByte
+        i += 1
+      }
+      Some((w, h, ch, out))
+    } catch {
+      case _: IndexOutOfBoundsException | _: NegativeArraySizeException |
+          _: ArithmeticException => None
+    }
+  }
+
   /** WebP VP8X (extended) container: canvas dims as 24-bit minus-one
     * fields, alpha flag for 4-channel payloads. Header = 30 bytes.
     */
@@ -498,9 +824,11 @@ object Media {
     * re-encode at the new dims. png/bmp/jpeg payloads that the JDK's
     * own codecs can decode take the REAL raster path (javax.imageio
     * decode → bilinear Graphics2D scale → imageio encode — present in
-    * every stock JVM, no extra dependency); payloads imageio cannot
-    * decode (synthetic fixtures, truncated files) plus tiff/webp (no
-    * stock JDK codec) fall back to REBUILDING a spec-correct container
+    * every stock JVM, no extra dependency); tiff and webp have no stock
+    * JDK codec but take the from-scratch raster paths below
+    * (uncompressed-strip TIFF; literal-subset lossless VP8L). Payloads
+    * none of those can decode (synthetic fixtures, truncated files,
+    * lossy VP8) fall back to REBUILDING a spec-correct container
     * of the same family at the new dims with an every-k-th-byte
     * decimated body (k = area shrink factor) — the right data-volume
     * shape, clearly not interpolation, and the header parsers re-read
@@ -568,6 +896,16 @@ object Media {
         case Some((w, h, ch, px)) =>
           return tiffRasterBytes(rw, rh, ch, resampleRaster(px, w, h, ch, rw, rh))
         case None => () // compressed/tiled/fixture tiff — rebuild-stub below
+      }
+    // webp: no JDK codec either, but lossless VP8L (what webpRasterBytes
+    // itself emits) decodes with the from-scratch literal-subset reader
+    // — same real box-filter resample; the decoder re-checks the pixel
+    // budget from the stream's own 14-bit dims before allocating
+    if (m.kind == "webp" && m.width.toLong * m.height <= RasterPixelBudget)
+      webpDecodeRaster(bytes) match {
+        case Some((w, h, ch, px)) =>
+          return webpRasterBytes(rw, rh, ch, resampleRaster(px, w, h, ch, rw, rh))
+        case None => () // lossy VP8 / fixture container — rebuild-stub below
       }
     // clamp BEFORE the Long->Int narrowing: a corrupt header claiming a
     // 2^24 x 2^24 canvas makes the area ratio 2^36, whose toInt wraps

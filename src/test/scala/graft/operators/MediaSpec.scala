@@ -269,6 +269,69 @@ class MediaSpec extends AnyFunSuite {
     assert(Media.decode("s", stub).width == 64)
   }
 
+  test("vp8l codec: lossless round-trip, real resample, subset bails") {
+    // rgb gradient: the builder emits a real VP8L stream, our decoder
+    // inverts it EXACTLY (lossless), and the header parsers read it
+    val (w, h, ch) = (128, 64, 3)
+    val px = new Array[Byte](w * h * ch)
+    for (y <- 0 until h; x <- 0 until w) {
+      val o = (y * w + x) * ch
+      px(o) = (x * 255 / (w - 1)).toByte     // red follows x
+      px(o + 1) = (y * 255 / (h - 1)).toByte // green follows y
+      px(o + 2) = 128.toByte                 // blue constant
+    }
+    val webp = Media.webpRasterBytes(w, h, ch, px)
+    val meta = Media.decode("w", webp)
+    assert((meta.kind, meta.width, meta.height, meta.channels) ==
+      ("webp", w, h, 3))
+    assert(Media.webpDecodeRaster(webp).map(t =>
+      (t._1, t._2, t._3, t._4.toSeq)).contains((w, h, ch, px.toSeq)))
+    // resize takes the real raster path: box-filter output must track
+    // the gradients — a decimation stub cannot satisfy this
+    val resized = Media.resizeOne(webp, 32, 32)
+    val m = Media.decode("w", resized)
+    assert((m.kind, m.width, m.height) == ("webp", 32, 16))
+    val Some((rw, rh, rch, out)) = Media.webpDecodeRaster(resized)
+    assert((rw, rh, rch) == (32, 16, 3))
+    for (y <- 0 until 16; x <- 0 until 32) {
+      val o = (y * 32 + x) * 3
+      val (r, g, b) = (out(o) & 0xFF, out(o + 1) & 0xFF, out(o + 2) & 0xFF)
+      assert(math.abs(r - x * 4 * 255.0 / (w - 1)) <= 8, s"red at ($x,$y)=$r")
+      assert(math.abs(g - y * 4 * 255.0 / (h - 1)) <= 8, s"green at ($x,$y)=$g")
+      assert(b == 128, s"blue at ($x,$y)=$b")
+    }
+    // rgba: varying alpha rides the fourth normal code, exact round-trip
+    val rgba = Array.tabulate(16 * 8 * 4)(i => ((i * 37 + 11) % 256).toByte)
+    val webp4 = Media.webpRasterBytes(16, 8, 4, rgba)
+    assert(Media.decode("a", webp4).channels == 4)
+    assert(Media.webpDecodeRaster(webp4).map(_._4.toSeq)
+      .contains(rgba.toSeq))
+    // grey input: encoded r=g=b, decodes as an rgb raster (the format
+    // is argb — real resizes normalize pixel format)
+    val grey = Array.tabulate(16 * 8)(i => (i % 251).toByte)
+    val webpG = Media.webpRasterBytes(16, 8, 1, grey)
+    val Some((_, _, gch, gpx)) = Media.webpDecodeRaster(webpG)
+    assert(gch == 3)
+    assert((0 until 16 * 8).forall(i =>
+      gpx(i * 3) == grey(i) && gpx(i * 3 + 1) == grey(i) &&
+        gpx(i * 3 + 2) == grey(i)))
+    // the m1/m2 FIXTURE webp (VP8X header + opaque body, no VP8L chunk)
+    // must keep taking the rebuild stub — m2's hash depends on it
+    val fixture = Media.webpBytes(100, 80, alpha = false,
+      Array.fill(999)(7.toByte))
+    assert(Media.webpDecodeRaster(fixture).isEmpty)
+    val stub = Media.resizeOne(fixture, 64, 64)
+    assert(Media.decode("s", stub).width == 64)
+    // a forged VP8L header claiming the 16384x16384 maximum (268M px)
+    // must bail on the pixel budget BEFORE allocating the raster
+    val forged = "RIFF".getBytes("US-ASCII") ++
+      Array[Byte](14, 0, 0, 0) ++
+      "WEBP".getBytes("US-ASCII") ++ "VP8L".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++
+      Array[Byte](0x2F, 0xFF.toByte, 0xFF.toByte, 0xFF.toByte, 0x0F, 0x00)
+    assert(Media.webpDecodeRaster(forged).isEmpty)
+  }
+
   test("raster budget gate keeps forged huge headers out of imageio") {
     // ImageIO allocates the FULL claimed raster before scaling, and an
     // OutOfMemoryError bypasses the Exception soft-fail — so the gate
