@@ -778,8 +778,23 @@ object Bench {
     sharedClusters.foreach(_.unpersist())
     sharedPairs.foreach(_.unpersist())
     val total = results.map(_._2).sum
-    // untimed: the skew defenses as measured candidate volumes
-    val skew = skewSideline(spark)
+    // untimed: the skew defenses as measured candidate volumes. The
+    // sideline runs AFTER every timed query and scaling window, so a
+    // FATAL error in its deliberately-quadratic nofilter joins (OOM)
+    // must not discard those measurements by escaping before the
+    // artifacts are written: best-effort catch-all here, with an
+    // explicit failure marker instead of the metric keys so a dead
+    // sideline can never masquerade as measured zeros (NonFatal
+    // failures are zeroed-and-logged inside skewSideline itself).
+    val skew =
+      try skewSideline(spark)
+      catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] skew sideline FATAL (timed " +
+            s"artifacts still written): ${t.getClass.getName}: " +
+            s"${t.getMessage}")
+          Seq("skew_sideline_fatal" -> 1.0)
+      }
 
     // full-fidelity side artifact: 4-decimal query times, the complete
     // scaling key set, skew volumes, and per-window dumps — everything

@@ -26,40 +26,25 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** Recoverability contract for corpus-sized multi-consumer
-    * intermediates (shingle/token/bucket tables): persist(
-    * MEMORY_AND_DISK) + one eager count(), NEVER localCheckpoint.
-    * Checkpoint blocks lost with a dead executor kill the job (no
-    * lineage to rebuild from), while a persisted partition recomputes
-    * from its — here deliberately shallow — lineage; at 10^9 docs with
-    * executor churn that difference is the job surviving the night.
-    * The eager count matters too: persist alone is LAZY, so two
-    * sibling consumers of a cold cache would each compute the kernel.
-    *
-    * Persisted tables are tracked; a long-lived session (bench loops,
-    * notebook use) calls `releaseCaches()` between runs — after the
-    * consuming action — so repeated dedup calls cannot accumulate
-    * cached blocks until eviction pressure (round-5 ADVICE).
+    * intermediates (shingle/token/bucket tables): see [[CacheRegistry]]
+    * — persist(MEMORY_AND_DISK) + eager count, never localCheckpoint.
+    * Dedup's operators share one object-level registry because their
+    * caller contract is sequential (run operator → consume → call
+    * `releaseCaches()`); a long-lived session (bench loops, notebook
+    * use) calls `releaseCaches()` between runs so repeated dedup calls
+    * cannot accumulate cached blocks until eviction pressure
+    * (round-5 ADVICE).
     */
-  private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val caches = new CacheRegistry
 
-  private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count()
-    synchronized { tracked += p }
-    p
-  }
+  private def materialize(df: DataFrame): DataFrame = caches.materialize(df)
 
   /** Unpersist every table a Dedup operator materialized. Call after
     * the consuming action completes (results already computed or
     * themselves persisted) — a still-lazy downstream plan would
     * recompute its inputs from lineage, correct but slow.
     */
-  def releaseCaches(): Unit = synchronized {
-    tracked.foreach(df =>
-      try df.unpersist()
-      catch { case scala.util.control.NonFatal(_) => () })
-    tracked.clear()
-  }
+  def releaseCaches(): Unit = caches.releaseAll()
 
   /** Exact duplicate groups: one row per distinct normalized text.
     * (keep = min doc id, n = group size).
@@ -590,7 +575,7 @@ object Dedup {
         // already fully cached by the over.count() scan — keep only it
         // alive (registered for releaseCaches) and drop the empty-over
         // helper persists
-        synchronized { tracked += frontier }
+        caches.track(frontier)
         perLevel.filter(_ ne frontier).foreach(_.unpersist())
         frontier
       } else {

@@ -320,6 +320,13 @@ object Media {
       val maxTagCount = 1 << 16
       def values(e: Int): Seq[Long] = { // SHORT/LONG value array of entry e
         val typ = u16(e + 2)
+        // only SHORT(3)/LONG(4) are decoded: any other legal TIFF type
+        // (BYTE=1, RATIONAL=5, ...) has a different element size, so
+        // assuming 4 bytes would read offsets/counts at the wrong
+        // stride — a byte-valid but silently SCRAMBLED raster if the
+        // misread survives the sum check. Empty -> entry rejected ->
+        // rebuild-stub fallback, per the decode-EXACTLY contract.
+        if (typ != 3 && typ != 4) return Seq.empty
         val count = u32(e + 4)
         if (count <= 0 || count > maxTagCount) return Seq.empty
         val size = if (typ == 3) 2 else 4
@@ -900,8 +907,14 @@ object Media {
     // webp: no JDK codec either, but lossless VP8L (what webpRasterBytes
     // itself emits) decodes with the from-scratch literal-subset reader
     // — same real box-filter resample; the decoder re-checks the pixel
-    // budget from the stream's own 14-bit dims before allocating
-    if (m.kind == "webp" && m.width.toLong * m.height <= RasterPixelBudget)
+    // budget from the stream's own 14-bit dims before allocating. The
+    // VP8L bitstream caps dims at 2^14, so a degenerate VP8X canvas
+    // (e.g. 10^6 x 16 — inside the pixel budget) can fit to a target
+    // no VP8L stream can carry; re-encoding would throw out of
+    // webpRasterBytes' dim require and kill the task — those take the
+    // rebuild stub instead (one-bad-blob contract)
+    if (m.kind == "webp" && m.width.toLong * m.height <= RasterPixelBudget &&
+        rw <= 16384 && rh <= 16384)
       webpDecodeRaster(bytes) match {
         case Some((w, h, ch, px)) =>
           return webpRasterBytes(rw, rh, ch, resampleRaster(px, w, h, ch, rw, rh))

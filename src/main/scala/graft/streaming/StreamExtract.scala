@@ -69,13 +69,17 @@ object StreamExtract {
           val raw = Pipeline.extract(batch, cfg,
             snapshotId = store.latest.map(_.snapshot_id + 1).getOrElse(1L),
             audit = acc)
+          // batch-private registry: concurrent streams in one session
+          // must not release each other's in-flight materializations
+          val batchCaches = new graft.operators.CacheRegistry
           val out =
             if (dedupCommitted)
-              dedupAgainstSnapshot(raw, store, nearDup = nearDupProbe)
+              dedupAgainstSnapshot(raw, store, nearDup = nearDupProbe,
+                caches = batchCaches)
             else raw
           val (dataDir, auditDir) = store.newWriteDirs(bucket)
           try out.write.parquet(dataDir)
-          finally releaseBatchCaches() // dedup's per-batch materializations
+          finally batchCaches.releaseAll() // dedup's per-batch materializations
           val audit = Pipeline.auditRows(acc)
           batch.sparkSession.createDataset(audit).coalesce(1)
             .write.parquet(auditDir)
@@ -116,30 +120,21 @@ object StreamExtract {
     arrivals.join(commFp, fp(aContent(arrivals)) === col("__fp"), "left_anti")
   }
 
-  /** Per-micro-batch materializations (see dedupAgainstSnapshot):
-    * tracked so extractStream releases them after each batch's write —
-    * same recoverability/cleanup contract as Dedup's registry.
+  /** Fallback registry for standalone dedupAgainstSnapshot callers who
+    * don't pass their own (see [[graft.operators.CacheRegistry]] for
+    * the recoverability contract). extractStream does NOT use this:
+    * each micro-batch gets a private instance, so two concurrent
+    * streams in one SparkSession cannot unpersist each other's
+    * in-flight materializations from a finally block.
     */
-  private val tracked =
-    scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+  private val sharedCaches = new graft.operators.CacheRegistry
 
-  private def materialize(df: DataFrame): DataFrame = {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    p.count() // persist is lazy; sibling consumers would double-compute
-    synchronized { tracked += p }
-    p
-  }
-
-  /** Unpersist every table dedupAgainstSnapshot materialized. Called by
-    * extractStream after each batch's output write; external batch
-    * callers should call it after their consuming action too.
+  /** Unpersist the shared registry's tables. External batch callers of
+    * dedupAgainstSnapshot (default `caches`) call this after their
+    * consuming action; callers that passed their own registry call its
+    * `releaseAll()` instead.
     */
-  def releaseBatchCaches(): Unit = synchronized {
-    tracked.foreach(df =>
-      try df.unpersist()
-      catch { case scala.util.control.NonFatal(_) => () })
-    tracked.clear()
-  }
+  def releaseBatchCaches(): Unit = sharedCaches.releaseAll()
 
   /** Incremental ingest dedup against the COMMITTED corpus (round-4
     * judge ask — the arrival path a training pipeline actually runs;
@@ -160,14 +155,19 @@ object StreamExtract {
     * the per-batch cost into (batch x index) joins instead of a
     * committed-corpus rescan. The join shapes are identical either way.
     *
-    * Materializes its multi-consumer intermediates (tracked);
-    * extractStream releases them after each batch write — standalone
-    * callers should call `releaseBatchCaches()` after consuming.
+    * Materializes its multi-consumer intermediates into `caches`;
+    * extractStream passes a batch-private registry and releases it
+    * after each batch write — standalone callers either pass their own
+    * registry (and call its releaseAll) or take the shared default and
+    * call `releaseBatchCaches()` after consuming.
     */
   def dedupAgainstSnapshot(batch: Dataset[ExtractedDoc],
       store: graft.snapshot.SnapshotStore, nearDup: Boolean = false,
       n: Int = 3, perms: Int = 64, bands: Int = 16,
-      minJ: Double = 0.9): Dataset[ExtractedDoc] = {
+      minJ: Double = 0.9,
+      caches: graft.operators.CacheRegistry = sharedCaches)
+      : Dataset[ExtractedDoc] = {
+    def materialize(df: DataFrame): DataFrame = caches.materialize(df)
     val spark = batch.sparkSession
     import spark.implicits._
     if (store.latest.isEmpty) return batch

@@ -405,4 +405,40 @@ class MediaSpec extends AnyFunSuite {
       "embedding", "vec_id", k = 1)
     assert(top.count() == 1)
   }
+
+  test("decode-exactly guards: odd TIFF tag types, VP8X-vs-VP8L fit dims") {
+    // a strip tag retyped to RATIONAL(5) has 8-byte elements; guessing
+    // 4 would read offsets/counts at the wrong stride into a byte-valid
+    // but scrambled raster — any non-SHORT/LONG type must reject the
+    // entry and take the rebuild stub
+    val tiff = Media.tiffRasterBytes(16, 8, 3,
+      Array.tabulate(16 * 8 * 3)(_.toByte))
+    assert(Media.tiffDecodeRaster(tiff).nonEmpty)
+    val n = (tiff(8) & 0xFF) | ((tiff(9) & 0xFF) << 8)
+    val patched = tiff.clone()
+    val hit = (0 until n).exists { k =>
+      val e = 10 + k * 12
+      val tag = (patched(e) & 0xFF) | ((patched(e + 1) & 0xFF) << 8)
+      if (tag == 279) { // StripByteCounts
+        patched(e + 2) = 5; patched(e + 3) = 0
+        true
+      } else false
+    }
+    assert(hit)
+    assert(Media.tiffDecodeRaster(patched).isEmpty)
+    assert(Media.decode("s", Media.resizeOne(patched, 8, 8)).kind == "tiff")
+
+    // a VP8X canvas of 10^6 x 16 (INSIDE the pixel budget) wrapping a
+    // small real VP8L stream: the fit target (20000 wide) exceeds the
+    // 2^14 VP8L dim cap, so re-encoding the decoded raster would throw
+    // out of webpRasterBytes' require — the resize must take the
+    // rebuild stub instead of killing the task
+    val inner = Media.webpRasterBytes(16, 8, 3,
+      Array.fill(16 * 8 * 3)(9.toByte))
+    val wide = Media.webpBytes(1000000, 16, alpha = false, inner.drop(12))
+    assert(Media.decode("w", wide).width == 1000000)
+    assert(Media.webpDecodeRaster(wide).nonEmpty) // the stream decodes fine
+    val out = Media.resizeOne(wide, 20000, 20000) // must not throw
+    assert(Media.decode("w", out).width == 20000)
+  }
 }

@@ -32,8 +32,16 @@ def load(outdir, name):
     return con.sql(f"SELECT * FROM '{outdir}/{name}/*.parquet'").df()
 
 
-names = sorted(d for d in os.listdir(base)
-               if os.path.isdir(os.path.join(base, d)))
+# Union across ALL runs, not just base: Verify catches per-query
+# Throwables, so a partial dump is a designed outcome — a query missing
+# from the base run must count as a failure, not silently shrink the
+# compared set (and "ALL BIT-STABLE" on 10 of 44 queries would be a lie).
+def querydirs(outdir):
+    return {d for d in os.listdir(outdir)
+            if os.path.isdir(os.path.join(outdir, d))}
+
+
+names = sorted(set().union(*(querydirs(d) for d in [base] + others)))
 fails = 0
 for name in names:
     try:
