@@ -2,7 +2,7 @@ package graft
 
 import graft.data.CorpusGen
 import graft.functions.TextFunctions
-import graft.operators.{Dedup, Media, Similarity}
+import graft.operators.{Corpus, Dedup, Media, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,13 @@ object SparkEntry {
   /** Exact decimal sum of a double column, emitted as rounded double. */
   private def dsum(c: Column, scale: Int = 2): Column =
     round(sum(c.cast("decimal(20,4)")).cast("double"), scale)
+
+  /** w1's training-mix weights per lang — upsample en, keep fr,
+    * downsample de/es, drop zh. One constant feeds both the Spark
+    * query and the generated oracle SQL so the two can never drift.
+    */
+  private[graft] val MixWeights: Seq[(String, Double)] = Seq(
+    "en" -> 1.5, "de" -> 0.6, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.0)
 
   /** Shared fixture for the pipeline queries (p1/p2/p3): the 300-doc
     * generated corpus run through extraction.
@@ -449,6 +456,32 @@ object SparkEntry {
       Dedup.dedupCorpus(t(s, dir, "documents"), "text", "doc_id")
         .select($"doc_id", $"lang", $"n_chars")
         .orderBy($"doc_id")
+    }),
+
+    // benchmark n-gram decontamination: bench = docs with
+    // doc_id % 97 == 0 (the eval-set stand-in), corpus = the rest;
+    // n_hits = DISTINCT 3-grams shared with any bench doc (same
+    // tokenize+shingle kernel as d2, so the oracle reuses d2's
+    // shingle SQL verbatim)
+    "d7_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      Corpus.contaminationHits(
+          docs.where($"doc_id" % 97 =!= 0),
+          docs.where($"doc_id" % 97 === 0),
+          "text", "doc_id", n = 3)
+        .orderBy($"doc_id")
+    }),
+
+    // deterministic weighted corpus mix over the lang column:
+    // en upsampled (1.5), fr identity (1.0), de/es downsampled,
+    // zh dropped (weight 0) — every per-doc fate a pure function of
+    // md5(doc_id), so the sample is reproducible across runs,
+    // retries, and partitionings
+    "w1_corpus_mix" -> ((s, dir) => {
+      Corpus.weightedMix(t(s, dir, "documents"), "doc_id", "lang",
+          MixWeights)
+        .orderBy("doc_id", "copy")
     }),
 
     // incremental ingest dedup (the arrival path of a continuously-fed
@@ -1442,6 +1475,43 @@ object SparkEntry {
          SELECT doc_id, lang, n_chars FROM documents
          WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)
          ORDER BY doc_id""",
+
+    // same shingle CTEs as the jaccard oracle (n=3, same normalization)
+    // split by the bench modulus; n_hits counts DISTINCT shared grams
+    // (the sh lists are list_distinct, so a plain count(*) is one)
+    "d7_decontaminate" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         sh AS (
+           SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS s
+           FROM toks WHERE len(t) >= 3),
+         bg AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 97 = 0),
+         ex AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 97 <> 0),
+         hits AS (
+           SELECT ex.doc_id, count(*) AS n_hits
+           FROM ex JOIN bg USING (g) GROUP BY ex.doc_id)
+         SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+           coalesce(h.n_hits, 0) > 0 AS contaminated
+         FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
+         LEFT JOIN hits h ON h.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
+
+    "w1_corpus_mix" -> {
+      val whole = MixWeights.map { case (k, w) =>
+        s"WHEN '$k' THEN ${math.floor(w).toInt}" }.mkString(" ")
+      val thr = MixWeights.map { case (k, w) =>
+        s"WHEN '$k' THEN ${Corpus.fracThreshold(w)}" }.mkString(" ")
+      s"""WITH c AS (
+           SELECT doc_id, lang,
+             (CASE lang $whole ELSE 0 END) +
+             (CASE WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                        < (CASE lang $thr ELSE 0 END)
+                   THEN 1 ELSE 0 END) AS copies
+           FROM documents)
+         SELECT doc_id, lang, CAST(unnest(range(1, copies + 1)) AS INT) AS copy
+         FROM c WHERE copies > 0 ORDER BY doc_id, copy"""
+    },
 
     "s2_ann_lsh" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
