@@ -127,4 +127,27 @@ class PlanSpec extends AnyFunSuite {
     val p = heavyOnly.queryExecution.executedPlan.toString
     assert(countExchanges(p) == 2, s"exchanges=${countExchanges(p)}\n$p")
   }
+
+  test("d7: bench grams broadcast; corpus side never self-joins") {
+    val df = SparkEntry.queries("d7_decontaminate")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the eval-gram set rides a broadcast join — at 100 TB the corpus
+    // side must not shuffle its gram strings
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+  }
+
+  test("w1: the mix itself is shuffle-free and UDF-free") {
+    // the operator alone (no presentation ORDER BY): a narrow map +
+    // generator explode must add zero exchanges over the scan
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val mixed = graft.operators.Corpus.weightedMix(
+      docs, "doc_id", "lang", SparkEntry.MixWeights)
+    val p = mixed.queryExecution.executedPlan.toString
+    assert(countExchanges(p) == 0, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(p.contains("Generate explode"), p)
+  }
 }
