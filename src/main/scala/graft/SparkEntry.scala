@@ -404,6 +404,99 @@ object SparkEntry {
         .orderBy($"doc_id")
     }),
 
+    // Gopher-style repetition signals (duplicate-token fraction, top
+    // 2-gram coverage, duplicate-3-gram fraction) — the repetition
+    // filter every web-scale training pipeline runs before quality
+    // scoring. One narrow projection per row (sort_array + one
+    // aggregate pass per gram order inside repetitionStats): zero
+    // shuffle at any corpus size. The oracle recomputes the same
+    // counts the expensive way (unnest + GROUP BY per gram).
+    "t7_repetition" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.repetitionStats($"text").as("r"))
+        .select($"doc_id", $"r.n_tok", $"r.dup_tok_frac",
+          $"r.top2_frac", $"r.dup3_frac")
+        .orderBy($"doc_id")
+    }),
+
+    // PII redaction (emails + phone shapes masked before anything else
+    // sees the text). The corpus is clean word salad, so PII is PLANTED
+    // deterministically from doc_id (the i1 pattern): %5 docs gain two
+    // emails, %7 docs one phone — match counts are closed-form and the
+    // redacted string is verified byte-for-byte. The same pattern
+    // strings run under Java regex (Spark) and RE2 (oracle): classes +
+    // bounded repetition only, no lookaround.
+    "t8_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val raw = concat($"text",
+        when($"doc_id" % 5 === 0,
+          concat(lit(" contact user"), $"doc_id",
+            lit("@example.com or admin@test.org now"))).otherwise(lit("")),
+        when($"doc_id" % 7 === 0,
+          concat(lit(" call 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit("-"), $"doc_id" % 90 + 10)).otherwise(lit("")))
+      t(s, dir, "documents")
+        .select($"doc_id", raw.as("raw"))
+        .select($"doc_id",
+          regexp_count($"raw", lit(TextFunctions.EmailRe))
+            .cast("int").as("n_emails"),
+          regexp_count($"raw", lit(TextFunctions.PhoneRe))
+            .cast("int").as("n_phones"),
+          TextFunctions.piiRedact($"raw").as("redacted"))
+        .orderBy($"doc_id")
+    }),
+
+    // Quality-funnel audit — the per-stage kept/dropped accounting a
+    // training pipeline publishes for every filter chain run (the
+    // RefinedWeb/C4-style funnel table). Stages: nonempty -> lang-ID
+    // confident -> quality >= 0.8 -> exact-dedup keep-first. Duplicates
+    // are PLANTED (i1's construction: %8==3 docs copy their
+    // predecessor's text) so the dedup stage drops a closed-form
+    // nonzero set. One narrow pass computes all stage predicates, one
+    // fp-partitioned window picks keepers, one tiny aggregate emits the
+    // 4-row funnel — a single shuffle on the md5 fingerprint regardless
+    // of corpus size.
+    "f1_quality_funnel" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val prev = docs.select(($"doc_id" + 1).as("doc_id"),
+        $"text".as("prev_text"))
+      val planted = docs.join(prev, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"doc_id" % 8 === 3 && $"prev_text".isNotNull, $"prev_text")
+            .otherwise($"text").as("text"))
+      val flagged = planted.select($"doc_id",
+          TextFunctions.fingerprint($"text").as("fp"),
+          ($"text".isNotNull && length(trim($"text")) > 0).as("c1"),
+          (TextFunctions.langGuess($"text") =!= "unknown").as("l"),
+          (TextFunctions.qualityScore($"text") >= 0.8).as("q"))
+        .withColumn("c2", $"c1" && $"l")
+        .withColumn("c3", $"c2" && $"q")
+      val kept = flagged
+        .withColumn("keep_id",
+          min(when($"c3", $"doc_id")).over(Window.partitionBy($"fp")))
+        .withColumn("c4", $"c3" && $"doc_id" === $"keep_id")
+      kept.agg(count(lit(1)).as("n0"),
+          sum($"c1".cast("long")).as("n1"),
+          sum($"c2".cast("long")).as("n2"),
+          sum($"c3".cast("long")).as("n3"),
+          sum($"c4".cast("long")).as("n4"))
+        .select(explode(array(
+          struct(lit(1).as("stage_idx"), lit("nonempty").as("stage"),
+            $"n0".as("docs_in"), $"n1".as("docs_out")),
+          struct(lit(2).as("stage_idx"), lit("lang_ok").as("stage"),
+            $"n1".as("docs_in"), $"n2".as("docs_out")),
+          struct(lit(3).as("stage_idx"), lit("quality").as("stage"),
+            $"n2".as("docs_in"), $"n3".as("docs_out")),
+          struct(lit(4).as("stage_idx"), lit("unique").as("stage"),
+            $"n3".as("docs_in"), $"n4".as("docs_out")))).as("s"))
+        .select($"s.stage_idx", $"s.stage", $"s.docs_in", $"s.docs_out")
+        .orderBy($"stage_idx")
+    }),
+
     // ------------------------------------------------------------- dedup
     "d1_exact_dedup" -> ((s, dir) => {
       Dedup.exactDupGroups(t(s, dir, "documents"), "text", "doc_id")
@@ -1397,6 +1490,111 @@ object SparkEntry {
 
     "t4_fingerprint" ->
       s"""SELECT doc_id, md5($norm) AS fp FROM documents ORDER BY doc_id""",
+
+    // the expensive re-derivation of t7's per-row counters: unnest each
+    // gram order and GROUP BY (doc_id, gram) — fine at gate scale,
+    // exactly the shuffle the Spark side's single-pass sorted-run
+    // aggregate avoids
+    "t7_repetition" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         b AS (
+           SELECT doc_id, len(t) AS n_tok, len(list_distinct(t)) AS n_dist
+           FROM toks),
+         g2 AS (
+           SELECT doc_id,
+             unnest([array_to_string(t[i:i+1], ' ') for i in range(1, len(t))]) AS g
+           FROM toks WHERE len(t) >= 2),
+         c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2),
+         a2 AS (SELECT doc_id, max(c) AS top2 FROM c2 GROUP BY 1),
+         g3 AS (
+           SELECT doc_id,
+             unnest([array_to_string(t[i:i+2], ' ') for i in range(1, len(t) - 1)]) AS g
+           FROM toks WHERE len(t) >= 3),
+         c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2),
+         a3 AS (
+           SELECT doc_id, sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS singles
+           FROM c3 GROUP BY 1)
+         SELECT b.doc_id, CAST(n_tok AS INT) AS n_tok,
+           round(CASE WHEN n_tok > 0
+             THEN CAST(n_tok - n_dist AS DOUBLE) / n_tok ELSE 0.0 END, 6)
+             AS dup_tok_frac,
+           round(CASE WHEN n_tok >= 2
+             THEN CAST(coalesce(top2, 0) AS DOUBLE) / (n_tok - 1)
+             ELSE 0.0 END, 6) AS top2_frac,
+           round(CASE WHEN n_tok >= 3
+             THEN CAST(n_tok - 2 - coalesce(singles, 0) AS DOUBLE) / (n_tok - 2)
+             ELSE 0.0 END, 6) AS dup3_frac
+         FROM b LEFT JOIN a2 USING (doc_id) LEFT JOIN a3 USING (doc_id)
+         ORDER BY doc_id""",
+
+    // same planted construction, same two regexes (RE2 'g' = Spark's
+    // replace-all default), email pass strictly before phone pass
+    "t8_pii_redact" ->
+      s"""WITH raw AS (
+           SELECT doc_id, text
+             || CASE WHEN doc_id % 5 = 0
+                  THEN ' contact user' || doc_id || '@example.com or admin@test.org now'
+                  ELSE '' END
+             || CASE WHEN doc_id % 7 = 0
+                  THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       || '-' || (doc_id % 90 + 10)
+                  ELSE '' END AS raw
+           FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(raw, '${TextFunctions.EmailRe}')) AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(raw, '${TextFunctions.PhoneRe}')) AS INT) AS n_phones,
+           regexp_replace(regexp_replace(raw, '${TextFunctions.EmailRe}', '<EMAIL>', 'g'),
+             '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS redacted
+         FROM raw ORDER BY doc_id""",
+
+    // f1: i1's planted-duplicate construction, t3's lang CASE, t2's
+    // quality formula, keep-first dedup via the same fp window — then
+    // the 4-row funnel by UNION ALL over one aggregate row
+    "f1_quality_funnel" ->
+      s"""WITH planted AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 8 = 3 AND p.text IS NOT NULL
+                  THEN p.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1),
+         padded AS (
+           SELECT doc_id, text, md5($norm) AS fp, ' ' || $norm || ' ' AS pt
+           FROM planted),
+         sc AS (
+           SELECT doc_id, fp, text,
+             (CASE WHEN pt LIKE '% the %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% a %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% of %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% and %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% is %' THEN 1 ELSE 0 END) AS s_en,
+             (CASE WHEN pt LIKE '% der %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% die %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% das %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% und %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% ist %' THEN 1 ELSE 0 END) AS s_de,
+             (CASE WHEN pt LIKE '% le %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% la %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% et %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% est %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% les %' THEN 1 ELSE 0 END) AS s_fr,
+             (CASE WHEN pt LIKE '% el %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% los %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% y %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% es %' THEN 1 ELSE 0 END) + (CASE WHEN pt LIKE '% una %' THEN 1 ELSE 0 END) AS s_es
+           FROM padded),
+         fl AS (
+           SELECT doc_id, fp,
+             (text IS NOT NULL AND length(trim(text)) > 0) AS c1,
+             NOT (s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0) AS l,
+             (round(
+               ((length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g'))) * 1.0 / (length(text) + 1))
+               * (1 - (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0 / (length(text) + 1))
+               * least(len(regexp_extract_all(text, '[A-Za-z0-9]+')) / 20.0, 1.0), 4) >= 0.8) AS q
+           FROM sc),
+         fl2 AS (
+           SELECT doc_id, fp, c1, (c1 AND l) AS c2, (c1 AND l AND q) AS c3
+           FROM fl),
+         fl3 AS (
+           SELECT *, (c3 AND doc_id = min(CASE WHEN c3 THEN doc_id END)
+             OVER (PARTITION BY fp)) AS c4
+           FROM fl2),
+         a AS (
+           SELECT count(*) AS n0,
+             CAST(sum(CASE WHEN c1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+             CAST(sum(CASE WHEN c2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN c3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN c4 THEN 1 ELSE 0 END) AS BIGINT) AS n4
+           FROM fl3)
+         SELECT 1 AS stage_idx, 'nonempty' AS stage, n0 AS docs_in, n1 AS docs_out FROM a
+         UNION ALL SELECT 2, 'lang_ok', n1, n2 FROM a
+         UNION ALL SELECT 3, 'quality', n2, n3 FROM a
+         UNION ALL SELECT 4, 'unique', n3, n4 FROM a
+         ORDER BY stage_idx""",
 
     "d1_exact_dedup" ->
       s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS n

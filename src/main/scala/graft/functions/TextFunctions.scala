@@ -132,6 +132,97 @@ object TextFunctions {
     aggregate(tokens(c), lit(0L),
       (acc, t) => acc * lit(1000003L) + xxhash64(t))
 
+  /** Sorted-run statistics over a string array: (maxrun, singles) =
+    * (largest multiplicity of any value, number of values occurring
+    * exactly once). One aggregate() pass over the SORTED array — per-row
+    * narrow Catalyst, no shuffle, so repetition scoring stays
+    * embarrassingly parallel at any corpus size (the oracle recomputes
+    * the same counts via unnest + GROUP BY, which is fine at gate scale
+    * but is exactly the per-gram shuffle this formulation avoids).
+    */
+  private def runStats(sorted: Column): Column =
+    aggregate(sorted,
+      struct(lit("").as("prev"), lit(0).as("run"),
+        lit(0).as("maxrun"), lit(0).as("singles")),
+      (st, g) => {
+        // run > 0 guards the first element against a legitimate "" gram
+        val same = st.getField("prev") === g && st.getField("run") > 0
+        val run = when(same, st.getField("run") + 1).otherwise(lit(1))
+        val singles = when(!same && st.getField("run") === 1,
+          st.getField("singles") + 1).otherwise(st.getField("singles"))
+        struct(g.as("prev"), run.as("run"),
+          greatest(st.getField("maxrun"), run).as("maxrun"),
+          singles.as("singles"))
+      },
+      st => struct(st.getField("maxrun").as("maxrun"),
+        (st.getField("singles") +
+          when(st.getField("run") === 1, 1).otherwise(0)).as("singles")))
+
+  /** Word n-gram array IN DOCUMENT ORDER (not deduplicated — the
+    * repetition counters need multiplicities, unlike `wordShingles`).
+    * Same let-binding trick: the token array is bound once per row.
+    */
+  private def orderedGrams(c: Column, n: Int): Column = {
+    val bound = transform(array(tokens(c)), toks =>
+      when(size(toks) >= n,
+        transform(sequence(lit(0), size(toks) - lit(n)),
+          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+        .otherwise(array().cast("array<string>")))
+    flatten(bound)
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
+    * duplicate-line / top-n-gram / duplicate-n-gram family, re-expressed
+    * over whitespace tokens since this corpus has no line structure):
+    *   n_tok         token count,
+    *   dup_tok_frac  fraction of token positions that repeat an earlier
+    *                 token value = 1 - distinct/total,
+    *   top2_frac     fraction of 2-gram positions covered by the single
+    *                 most frequent 2-gram,
+    *   dup3_frac     fraction of 3-gram positions whose gram occurs
+    *                 more than once.
+    * All four are one narrow projection per row (sort_array + one
+    * aggregate pass per gram order) — zero shuffle, codegen-friendly,
+    * so the filter runs at scan speed over any corpus size.
+    */
+  def repetitionStats(c: Column): Column = {
+    val toks = tokens(c)
+    val nTok = size(toks)
+    val dupTok = when(nTok > 0,
+      (nTok - size(array_distinct(toks))).cast("double") /
+        nTok.cast("double")).otherwise(lit(0.0))
+    val r2 = runStats(sort_array(orderedGrams(c, 2)))
+    val n2 = nTok - 1
+    val top2 = when(n2 > 0,
+      r2.getField("maxrun").cast("double") / n2.cast("double"))
+      .otherwise(lit(0.0))
+    val r3 = runStats(sort_array(orderedGrams(c, 3)))
+    val n3 = nTok - 2
+    val dup3 = when(n3 > 0,
+      (n3 - r3.getField("singles")).cast("double") / n3.cast("double"))
+      .otherwise(lit(0.0))
+    struct(nTok.as("n_tok"),
+      round(dupTok, 6).as("dup_tok_frac"),
+      round(top2, 6).as("top2_frac"),
+      round(dup3, 6).as("dup3_frac"))
+  }
+
+  /** PII redaction patterns — deliberately simple (RFC-ish email, a
+    * 555-prefixed phone shape) so the SAME pattern string runs under
+    * both Java regex (Spark) and RE2 (DuckDB oracle): no lookaround,
+    * no backrefs, character classes and bounded repetition only.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b555[- ][0-9]{4}[- ][0-9]+\\b"
+
+  /** Mask emails then phone numbers (training corpora redact PII before
+    * anything else sees the text). Pure regexp_replace — codegen'd,
+    * replaces ALL occurrences, narrow per row.
+    */
+  def piiRedact(c: Column): Column =
+    regexp_replace(regexp_replace(c, EmailRe, "<EMAIL>"),
+      PhoneRe, "<PHONE>")
+
   /** X6 prompt templating (reference core/models/reasoning_engine.py's
     * f-string prompt assembly over a field list): fill {key}
     * placeholders from columns; null values render as "". Pure nested

@@ -150,4 +150,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
     assert(p.contains("Generate explode"), p)
   }
+
+  test("t7: repetition scoring is a zero-shuffle narrow projection") {
+    // the whole point of the sorted-run aggregate formulation: no
+    // per-gram exchange, just scan -> project (-> presentation sort,
+    // which is range- not hash-partitioning)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    import org.apache.spark.sql.functions.col
+    val df = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.repetitionStats(col("text")).as("r"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(countExchanges(p) == 0, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
+
+  test("f1: funnel needs only the planted self-join + one fp window shuffle") {
+    val df = SparkEntry.queries("f1_quality_funnel")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    // hash exchanges: <= 2 for the doc_id self-join + 1 for the
+    // fingerprint window; the final funnel agg is SinglePartition over
+    // one row (AQE may broadcast the join side, shrinking the count)
+    assert(countExchanges(p) <= 3, p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+  }
 }
