@@ -33,6 +33,12 @@ object SparkEntry {
   private[graft] val MixWeights: Seq[(String, Double)] = Seq(
     "en" -> 1.5, "de" -> 0.6, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.0)
 
+  /** d8's n-gram width (Lee et al. use 50 BPE tokens; 8 whitespace
+    * tokens is the same idea scaled to this corpus's ~30-token docs).
+    * One constant feeds the query and the oracle SQL.
+    */
+  private[graft] val D8Gram = 8
+
   /** Shared fixture for the pipeline queries (p1/p2/p3): the 300-doc
     * generated corpus run through extraction.
     */
@@ -495,6 +501,38 @@ object SparkEntry {
             $"n3".as("docs_in"), $"n4".as("docs_out")))).as("s"))
         .select($"s.stage_idx", $"s.stage", $"s.docs_in", $"s.docs_out")
         .orderBy($"stage_idx")
+    }),
+
+    // CCNet-style unigram log-perplexity: mean nats/token under the
+    // corpus's own unigram LM (Corpus.unigramNll — quantized code
+    // lengths, exact decimal sums; see the operator scaladoc for the
+    // cross-engine determinism argument and the three-shuffle shape).
+    "t9_unigram_logppl" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.unigramNll(t(s, dir, "documents"), "text", "doc_id")
+        .orderBy($"doc_id")
+    }),
+
+    // Exact-substring duplication stats (Lee et al. 2022 at n-gram
+    // granularity): per doc, how many token positions sit inside an
+    // 8-gram that occurs >= 2 times corpus-wide. The raw corpus's
+    // planted exact-dup docs (and any incidental repetition) make the
+    // counts nonzero without extra construction.
+    "d8_dup_spans" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.duplicatedSpanStats(t(s, dir, "documents"), "text", "doc_id",
+          n = D8Gram)
+        .orderBy($"doc_id")
+    }),
+
+    // SQ8 scalar quantization of the embeddings table (Faiss QT_8bit):
+    // per-dim corpus min/max -> uint8 codes + per-vector squared
+    // reconstruction error. codes ride as a comma-joined string so both
+    // engines hash the same scalar.
+    "e2_sq8_quantize" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.sq8Quantize(t(s, dir, "embeddings"), "embedding", "vec_id")
+        .orderBy($"vec_id")
     }),
 
     // ------------------------------------------------------------- dedup
@@ -1595,6 +1633,82 @@ object SparkEntry {
          UNION ALL SELECT 3, 'quality', n2, n3 FROM a
          UNION ALL SELECT 4, 'unique', n3, n4 FROM a
          ORDER BY stage_idx""",
+
+    // t9: the same LM replayed the flat way — unnest every token,
+    // count, join back. Same 6-decimal code-length quantization before
+    // the (exact decimal) per-doc sum; ln is natural log in both
+    // engines.
+    "t9_unigram_logppl" ->
+      s"""WITH toks AS (
+           SELECT doc_id, unnest(string_split($norm, ' ')) AS tok
+           FROM documents),
+         dt AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+         lm AS (SELECT tok, sum(c) AS tf FROM dt GROUP BY 1),
+         n AS (SELECT sum(tf) AS n_total FROM lm),
+         sc AS (
+           SELECT doc_id, c,
+             round(-ln(CAST(tf AS DOUBLE) / CAST(n_total AS DOUBLE)), 6)
+               AS nats
+           FROM dt JOIN lm USING (tok) CROSS JOIN n)
+         SELECT doc_id, CAST(sum(c) AS INT) AS n_tok,
+           round(CAST(sum(CAST(c * nats AS DECIMAL(30,8))) AS DOUBLE)
+             / CAST(sum(c) AS DOUBLE), 4) AS nll
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
+
+    // d8: grams with start positions via an index-range unnest; dup set
+    // = total occurrences >= 2; coverage = distinct positions under any
+    // duplicated start, n positions per start on both sides
+    "d8_dup_spans" ->
+      s"""WITH toks AS (
+           SELECT doc_id, string_split($norm, ' ') AS t FROM documents),
+         g AS (
+           SELECT doc_id, unnest(range(1, len(t) - ${D8Gram - 2})) AS i, t
+           FROM toks WHERE len(t) >= $D8Gram),
+         g2 AS (
+           SELECT doc_id, i - 1 AS s,
+             array_to_string(t[i:i + ${D8Gram - 1}], ' ') AS gram
+           FROM g),
+         dup AS (SELECT gram FROM g2 GROUP BY 1 HAVING count(*) >= 2),
+         cov AS (
+           SELECT DISTINCT doc_id, unnest(range(s, s + $D8Gram)) AS p
+           FROM g2 JOIN dup USING (gram)),
+         c AS (SELECT doc_id, count(*) AS dup_tok FROM cov GROUP BY 1),
+         base AS (
+           SELECT doc_id, CAST(len(t) AS INT) AS n_tok FROM toks)
+         SELECT doc_id, n_tok,
+           CAST(coalesce(dup_tok, 0) AS BIGINT) AS dup_tok,
+           round(CAST(coalesce(dup_tok, 0) AS DOUBLE) / n_tok, 6)
+             AS dup_frac
+         FROM base LEFT JOIN c USING (doc_id) ORDER BY doc_id""",
+
+    // e2: identical arithmetic, identical op order ((x-mn)*255.0/
+    // (mx-mn); mn + code*(mx-mn)/255.0), per-element squared error
+    // decimal-cast before the (exact) sum
+    "e2_sq8_quantize" ->
+      """WITH e AS (
+           SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         x AS (
+           SELECT vec_id, unnest(v) AS x, generate_subscripts(v, 1) AS pos
+           FROM e),
+         d AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+         q AS (
+           SELECT vec_id, pos, x, mn, mx,
+             CASE WHEN mx > mn
+               THEN CAST(round((x - mn) * 255.0 / (mx - mn)) AS INT)
+               ELSE 0 END AS code
+           FROM x JOIN d USING (pos)),
+         r AS (
+           SELECT vec_id, pos, code,
+             x - (CASE WHEN mx > mn
+               THEN mn + CAST(code AS DOUBLE) * (mx - mn) / 255.0
+               ELSE mn END) AS ex
+           FROM q)
+         SELECT vec_id,
+           array_to_string(list(CAST(code AS VARCHAR) ORDER BY pos), ',')
+             AS codes,
+           round(CAST(sum(CAST(ex * ex AS DECIMAL(30,10))) AS DOUBLE), 6)
+             AS sq_err
+         FROM r GROUP BY vec_id ORDER BY vec_id""",
 
     "d1_exact_dedup" ->
       s"""SELECT md5($norm) AS fp, min(doc_id) AS keep_id, count(*) AS n

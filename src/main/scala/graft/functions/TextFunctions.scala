@@ -162,7 +162,7 @@ object TextFunctions {
     * repetition counters need multiplicities, unlike `wordShingles`).
     * Same let-binding trick: the token array is bound once per row.
     */
-  private def orderedGrams(c: Column, n: Int): Column = {
+  private[graft] def orderedGrams(c: Column, n: Int): Column = {
     val bound = transform(array(tokens(c)), toks =>
       when(size(toks) >= n,
         transform(sequence(lit(0), size(toks) - lit(n)),

@@ -106,4 +106,43 @@ object Corpus {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
       .withColumn("contaminated", col("n_hits") > 0)
   }
+
+  /** CCNet-style unigram log-perplexity (Wenzek et al. 2020 score a
+    * Wikipedia KenLM; the corpus-self unigram LM is the reference-free
+    * form): per doc, the mean negative log-likelihood in nats/token
+    * under the corpus's own unigram distribution. Common boilerplate
+    * scores LOW, rare-garbage scores HIGH — pipelines keep a middle
+    * band. Returns (doc_id, n_tok, nll).
+    *
+    * Determinism across engines: each token's code length is QUANTIZED
+    * — round(-ln(tf/N), 6) — before the per-doc sum, because ln is the
+    * one step libm implementations may differ on by 1 ulp; at 6
+    * decimals a cross-engine straddle needs the true value within
+    * ~1e-14 of a tie (never at gate scale). The quantized terms then
+    * sum EXACTLY (decimal), so partial-agg order cannot matter.
+    *
+    * 100-TB shape: three shuffles, all on bounded keys — (doc, token)
+    * distinct-count (collapses positions before anything joins), token
+    * (the Zipf-bounded vocabulary LM, map-side-combinable), doc_id
+    * (final per-doc sum). The corpus token total is ONE broadcast row;
+    * the LM-to-doc join is 1:N on the token key, no amplification.
+    */
+  def unigramNll(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(graft.functions.TextFunctions.tokens(col(textCol))).as("tok"))
+    val dt = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+    val lm = dt.groupBy("tok").agg(sum("c").as("tf"))
+    val total = lm.agg(sum("tf").as("n_total"))
+    dt.join(lm, "tok")
+      .crossJoin(broadcast(total))
+      .withColumn("nats",
+        round(-log(col("tf").cast("double") / col("n_total").cast("double")),
+          6))
+      .groupBy("doc_id")
+      .agg(sum("c").as("nt"),
+        sum((col("c") * col("nats")).cast("decimal(30,8)")).as("s"))
+      .select(col("doc_id"), col("nt").cast("int").as("n_tok"),
+        round(col("s").cast("double") / col("nt").cast("double"), 4)
+          .as("nll"))
+  }
 }

@@ -766,4 +766,46 @@ object Dedup {
       .select(col("doc_id").as("__drop_id"))
     docs.join(drop, docs(idCol) === col("__drop_id"), "left_anti")
   }
+
+  /** Exact-substring duplication stats (the n-gram-granularity form of
+    * Lee et al. 2022's ExactSubstr dedup, "Deduplicating Training Data
+    * Makes Language Models Better"): a token position is DUPLICATED if
+    * any word n-gram covering it occurs >= 2 times in the whole corpus
+    * (across or within docs). Returns one row per doc:
+    * (doc_id, n_tok, dup_tok = covered positions, dup_frac) — the
+    * per-document signal pipelines threshold on (drop the doc) or feed
+    * to a span-cutter (rewrite the doc without the duplicated spans).
+    *
+    * 100-TB shape: gram rows carry (id, start) only; the df >= 2 set
+    * comes from one map-side-combinable count (at petabyte scale the
+    * grouping key would be xxhash64/md5 of the gram — identical counts,
+    * collision-negligible — keeping shuffle keys at 8-16 bytes; kept as
+    * strings here for oracle-exactness). Coverage expands ONLY the
+    * duplicated starts (bounded n-times amplification of the dup set,
+    * not the corpus) into positions and distinct-counts them per doc.
+    * No corpus self-join anywhere — the quadratic trap of
+    * substring-dedup formulations that join docs against docs.
+    */
+  def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, "need n >= 1")
+    val g = docs.select(col(idCol).as("doc_id"),
+      posexplode(graft.functions.TextFunctions.orderedGrams(col(textCol), n))
+        .as(Seq("s", "gram")))
+    val dup = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("gram")
+    val covered = g.join(dup, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tok"))
+    docs
+      .select(col(idCol).as("doc_id"),
+        size(tokens(col(textCol))).as("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"))
+      .withColumn("dup_frac",
+        round(col("dup_tok") / col("n_tok"), 6))
+  }
 }

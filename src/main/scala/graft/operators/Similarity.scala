@@ -525,4 +525,54 @@ object Similarity {
       case _ => verify[Long]
     }
   }
+
+  /** SQ8 scalar quantization (the Faiss ScalarQuantizer QT_8bit scheme,
+    * public): per-dimension corpus [min, max], each component mapped to
+    * code = round((x - min) * 255 / (max - min)) in [0, 255] — 4x
+    * smaller vectors for ANN shortlist scans, with the per-vector
+    * squared reconstruction error reported so a pipeline can gate on
+    * quantization loss before swapping the fp32 column out. Returns
+    * (idCol, codes — comma-joined for engine-portable comparison,
+    * sq_err).
+    *
+    * A constant dimension (max == min) carries zero information: code 0,
+    * dequantizes to min, zero error.
+    *
+    * 100-TB shape: the stats pass is one posexplode + groupBy(pos) —
+    * map-side-combinable, `dim` result rows — collapsed to ONE row and
+    * broadcast back; the encode pass is then a pure narrow transform
+    * per vector (no per-vector shuffle, no collect — the stats row
+    * rides the broadcast, Faiss-style "train then encode" as two scans).
+    * Squared-error terms are decimal-summed inside the row's aggregate
+    * HOF, so the fold is exact and engine-order-free.
+    */
+  def sq8Quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val stats = df.select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("stats"))
+    df.crossJoin(broadcast(stats))
+      .select(col(idCol), v.as("v"), col("stats"))
+      .withColumn("enc", transform(col("v"), (x, i) => {
+        val st = element_at(col("stats"), i + 1)
+        val mn = st.getField("mn")
+        val mx = st.getField("mx")
+        val code = when(mx > mn,
+          round((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
+          .otherwise(lit(0))
+        val dq = when(mx > mn,
+          mn + code.cast("double") * (mx - mn) / lit(255.0)).otherwise(mn)
+        struct(code.as("code"), ((x - dq) * (x - dq)).as("se"))
+      }))
+      .select(col(idCol),
+        array_join(transform(col("enc"),
+          e => e.getField("code").cast("string")), ",").as("codes"),
+        round(aggregate(col("enc"), lit(0).cast("decimal(30,10)"),
+          // re-pin the accumulator type: decimal + widens precision per
+          // step, and the HOF requires a stable accumulator schema
+          (acc, e) => (acc + e.getField("se").cast("decimal(30,10)"))
+            .cast("decimal(30,10)"))
+          .cast("double"), 6).as("sq_err"))
+  }
 }

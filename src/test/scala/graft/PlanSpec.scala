@@ -164,6 +164,44 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
   }
 
+  // an adaptive plan's toString appends "== Initial Plan ==", which
+  // duplicates every exchange — count only the final executed section
+  private def finalPlan(p: String): String =
+    p.split("== Initial Plan ==")(0)
+
+  test("t9: unigram LM joins on bounded keys, no cartesian, no UDF") {
+    val df = SparkEntry.queries("t9_unigram_logppl")(spark, dir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // (doc,tok) distinct-count + vocab LM + tok join + per-doc sum;
+    // the corpus-total row rides a 1-row broadcast, never a shuffle
+    assert(countExchanges(p) <= 5, p)
+  }
+
+  test("d8: substring dedup never self-joins the corpus") {
+    val df = SparkEntry.queries("d8_dup_spans")(spark, dir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoop"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(countExchanges(p) <= 6, p)
+  }
+
+  test("e2: SQ8 stats ride one broadcast row; encode pass is narrow") {
+    val df = SparkEntry.queries("e2_sq8_quantize")(spark, dir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // dim-stats agg is the ONLY hash exchange; the encode side joins
+    // the single stats row via broadcast, so vectors never shuffle
+    assert(countExchanges(p) <= 1, p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("f1: funnel needs only the planted self-join + one fp window shuffle") {
     val df = SparkEntry.queries("f1_quality_funnel")(spark, dir)
     df.collect() // finalize the adaptive plan
