@@ -106,24 +106,23 @@ object TextFunctions {
       .otherwise(lit("es"))
   }
 
+  /** Word n-grams IN DOCUMENT ORDER from an already-bound token-array
+    * column (a lambda variable — see orderedGrams for why binding
+    * matters). Guard: sequence(0, -1) would COUNT DOWN in Spark, not be
+    * empty. Shared by wordShingles / orderedGrams / repetitionStats so
+    * the subtle construction lives in exactly one place.
+    */
+  private def gramsFrom(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - lit(n)),
+        i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
+      .otherwise(array().cast("array<string>"))
+
   /** Word n-gram shingle set (distinct), the unit of Jaccard similarity.
     * Pure HOFs: sequence + transform + slice + array_join.
     */
-  def wordShingles(c: Column, n: Int): Column = {
-    // Let-binding via a 1-element array + transform: interpreted HOFs
-    // re-evaluate any non-attribute subexpression referenced inside a
-    // lambda body ONCE PER ELEMENT — binding the token array to a lambda
-    // variable makes the per-shingle slice O(n) instead of re-splitting
-    // the whole text per shingle (measured ~100x on sf0.1 documents).
-    // Guard: sequence(0, -1) would COUNT DOWN in Spark, not be empty.
-    val bound = transform(array(tokens(c)), toks =>
-      when(size(toks) >= n,
-        array_distinct(
-          transform(sequence(lit(0), size(toks) - lit(n)),
-            i => array_join(slice(toks, i + lit(1), lit(n)), " "))))
-        .otherwise(array().cast("array<string>")))
-    flatten(bound)
-  }
+  def wordShingles(c: Column, n: Int): Column =
+    array_distinct(orderedGrams(c, n))
 
   /** Rolling-hash document fingerprint (polynomial hash over tokens) —
     * order-sensitive counterpart of `fingerprint`. aggregate() HOF.
@@ -160,16 +159,14 @@ object TextFunctions {
 
   /** Word n-gram array IN DOCUMENT ORDER (not deduplicated — the
     * repetition counters need multiplicities, unlike `wordShingles`).
-    * Same let-binding trick: the token array is bound once per row.
+    * Let-binding via a 1-element array + transform: interpreted HOFs
+    * re-evaluate any non-attribute subexpression referenced inside a
+    * lambda body ONCE PER ELEMENT — binding the token array to a lambda
+    * variable makes the per-shingle slice O(n) instead of re-splitting
+    * the whole text per shingle (measured ~100x on sf0.1 documents).
     */
-  private[graft] def orderedGrams(c: Column, n: Int): Column = {
-    val bound = transform(array(tokens(c)), toks =>
-      when(size(toks) >= n,
-        transform(sequence(lit(0), size(toks) - lit(n)),
-          i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
-        .otherwise(array().cast("array<string>")))
-    flatten(bound)
-  }
+  private[graft] def orderedGrams(c: Column, n: Int): Column =
+    flatten(transform(array(tokens(c)), toks => gramsFrom(toks, n)))
 
   /** Gopher-style repetition signals (Rae et al. 2021 §A1.1, the
     * duplicate-line / top-n-gram / duplicate-n-gram family, re-expressed
@@ -186,25 +183,31 @@ object TextFunctions {
     * so the filter runs at scan speed over any corpus size.
     */
   def repetitionStats(c: Column): Column = {
-    val toks = tokens(c)
-    val nTok = size(toks)
-    val dupTok = when(nTok > 0,
-      (nTok - size(array_distinct(toks))).cast("double") /
-        nTok.cast("double")).otherwise(lit(0.0))
-    val r2 = runStats(sort_array(orderedGrams(c, 2)))
-    val n2 = nTok - 1
-    val top2 = when(n2 > 0,
-      r2.getField("maxrun").cast("double") / n2.cast("double"))
-      .otherwise(lit(0.0))
-    val r3 = runStats(sort_array(orderedGrams(c, 3)))
-    val n3 = nTok - 2
-    val dup3 = when(n3 > 0,
-      (n3 - r3.getField("singles")).cast("double") / n3.cast("double"))
-      .otherwise(lit(0.0))
-    struct(nTok.as("n_tok"),
-      round(dupTok, 6).as("dup_tok_frac"),
-      round(top2, 6).as("top2_frac"),
-      round(dup3, 6).as("dup3_frac"))
+    // ONE normalization+split per row: the token array is bound to a
+    // lambda variable and every counter (token stats + both gram
+    // orders) derives from the bound value — the naive form re-ran the
+    // regex normalization once per gram order (review finding).
+    val bound = transform(array(tokens(c)), toks => {
+      val nTok = size(toks)
+      val dupTok = when(nTok > 0,
+        (nTok - size(array_distinct(toks))).cast("double") /
+          nTok.cast("double")).otherwise(lit(0.0))
+      val r2 = runStats(sort_array(gramsFrom(toks, 2)))
+      val n2 = nTok - 1
+      val top2 = when(n2 > 0,
+        r2.getField("maxrun").cast("double") / n2.cast("double"))
+        .otherwise(lit(0.0))
+      val r3 = runStats(sort_array(gramsFrom(toks, 3)))
+      val n3 = nTok - 2
+      val dup3 = when(n3 > 0,
+        (n3 - r3.getField("singles")).cast("double") / n3.cast("double"))
+        .otherwise(lit(0.0))
+      struct(nTok.as("n_tok"),
+        round(dupTok, 6).as("dup_tok_frac"),
+        round(top2, 6).as("top2_frac"),
+        round(dup3, 6).as("dup3_frac"))
+    })
+    element_at(bound, 1)
   }
 
   /** PII redaction patterns — deliberately simple (RFC-ish email, a

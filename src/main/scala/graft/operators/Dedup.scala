@@ -789,9 +789,12 @@ object Dedup {
   def duplicatedSpanStats(docs: DataFrame, textCol: String, idCol: String,
       n: Int): DataFrame = {
     require(n >= 1, "need n >= 1")
-    val g = docs.select(col(idCol).as("doc_id"),
+    // the gram table feeds two consumers (the dup-count aggregate and
+    // the coverage join) — tracked materialization per the file's
+    // recoverability contract, so the corpus is tokenized+exploded ONCE
+    val g = materialize(docs.select(col(idCol).as("doc_id"),
       posexplode(graft.functions.TextFunctions.orderedGrams(col(textCol), n))
-        .as(Seq("s", "gram")))
+        .as(Seq("s", "gram"))))
     val dup = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("gram")
     val covered = g.join(dup, "gram")

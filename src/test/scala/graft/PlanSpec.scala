@@ -205,7 +205,7 @@ class PlanSpec extends AnyFunSuite {
   test("f1: funnel needs only the planted self-join + one fp window shuffle") {
     val df = SparkEntry.queries("f1_quality_funnel")(spark, dir)
     df.collect() // finalize the adaptive plan
-    val p = df.queryExecution.executedPlan.toString
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoop"), p)
     // hash exchanges: <= 2 for the doc_id self-join + 1 for the

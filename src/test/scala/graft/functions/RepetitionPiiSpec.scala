@@ -101,15 +101,23 @@ class RepetitionPiiSpec extends AnyFunSuite {
       }
       (d, text)
     }.toDF("doc_id", "text")
-    val dir = java.nio.file.Files.createTempDirectory("f1spec").toString
-    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val rows = graft.SparkEntry.queries("f1_quality_funnel")(spark, dir)
-      .collect().map(r =>
-        (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
-    assert(rows.toSeq == Seq(
-      (1, "nonempty", 10L, 9L),
-      (2, "lang_ok", 9L, 8L),
-      (3, "quality", 8L, 7L),
-      (4, "unique", 7L, 6L)))
+    val dirPath = java.nio.file.Files.createTempDirectory("f1spec")
+    try {
+      val dir = dirPath.toString
+      docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val rows = graft.SparkEntry.queries("f1_quality_funnel")(spark, dir)
+        .collect().map(r =>
+          (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      assert(rows.toSeq == Seq(
+        (1, "nonempty", 10L, 9L),
+        (2, "lang_ok", 9L, 8L),
+        (3, "quality", 8L, 7L),
+        (4, "unique", 7L, 6L)))
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dirPath).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount)
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
   }
 }
