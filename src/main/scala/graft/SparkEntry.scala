@@ -2,7 +2,7 @@ package graft
 
 import graft.data.CorpusGen
 import graft.functions.TextFunctions
-import graft.operators.{Corpus, Dedup, Media, Similarity}
+import graft.operators.{Bloom, Corpus, Dedup, Media, Similarity}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -638,6 +638,30 @@ object SparkEntry {
       graft.streaming.StreamExtract
         .dropCommittedExact(arrivals, committed, df => df("text"))
         .select($"doc_id", TextFunctions.fingerprint($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // the Bloom index that makes i1's anti-join affordable at snapshot
+    // scale: same committed/arrival cohorts (planted dups on
+    // doc_id % 8 == 3), join rendition so the filter arithmetic
+    // (md5-derived double hashing, 64-bit exact) replays in DuckDB.
+    // bloom_hit vs is_dup exposes false positives to the hash gate;
+    // false negatives (is_dup && !bloom_hit) are impossible by
+    // construction and BloomSpec asserts it.
+    "b1_bloom_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val committed = docs.filter($"doc_id" % 4 =!= 3)
+        .select($"doc_id", $"text")
+      val prev = docs.select(($"doc_id" + 1).as("doc_id"),
+        $"text".as("prev_text"))
+      val arrivals = docs.filter($"doc_id" % 4 === 3)
+        .join(prev, Seq("doc_id"), "left")
+        .select($"doc_id",
+          when($"doc_id" % 8 === 3, $"prev_text").otherwise($"text")
+            .as("text"))
+      Bloom.membershipJoin(committed, arrivals,
+          df => df("text"), df => df("text"), "doc_id")
         .orderBy($"doc_id")
     }),
 
@@ -1733,6 +1757,43 @@ object SparkEntry {
          WHERE NOT EXISTS (
            SELECT 1 FROM committed WHERE cfp = md5($norm))
          ORDER BY doc_id""",
+
+    // full Bloom replay: same committed/arrival construction as i1,
+    // m = 32 * count(committed), k = 3 positions from the md5-hex
+    // double hash — every arithmetic step is 64-bit-exact, so the
+    // filter (a distinct position set) and the probe reproduce
+    // bit-for-bit, INCLUDING the false positives bloom_hit reports on
+    // non-dup arrivals.
+    "b1_bloom_dedup" ->
+      s"""WITH cfp AS (
+           SELECT md5($norm) AS fp FROM documents WHERE doc_id % 4 <> 3),
+         mrow AS (SELECT 32 * count(*) AS m FROM cfp),
+         bits AS (
+           SELECT DISTINCT
+             (CAST(('0x' || substring(fp, 1, 8))::UBIGINT AS BIGINT)
+              + j * CAST(('0x' || substring(fp, 9, 8))::UBIGINT AS BIGINT))
+             % m AS pos
+           FROM cfp, (SELECT unnest(range(3)) AS j), mrow),
+         arrivals AS (
+           SELECT d.doc_id,
+             CASE WHEN d.doc_id % 8 = 3 THEN p.text ELSE d.text END AS text
+           FROM documents d LEFT JOIN documents p ON p.doc_id = d.doc_id - 1
+           WHERE d.doc_id % 4 = 3),
+         afp AS (SELECT doc_id, md5($norm) AS fp FROM arrivals),
+         apos AS (
+           SELECT doc_id, fp, unnest(list_distinct(list_transform(range(3),
+             j -> (CAST(('0x' || substring(fp, 1, 8))::UBIGINT AS BIGINT)
+                   + j * CAST(('0x' || substring(fp, 9, 8))::UBIGINT AS BIGINT))
+                  % m))) AS pos
+           FROM afp, mrow),
+         cdup AS (SELECT DISTINCT fp FROM cfp)
+         SELECT a.doc_id, a.fp,
+           (count(*) = count(b.pos)) AS bloom_hit,
+           (count(d.fp) > 0) AS is_dup
+         FROM apos a LEFT JOIN bits b ON b.pos = a.pos
+                     LEFT JOIN cdup d ON d.fp = a.fp
+         GROUP BY a.doc_id, a.fp
+         ORDER BY a.doc_id""",
 
     "d4_simhash_neardups" ->
       s"""WITH toks AS (

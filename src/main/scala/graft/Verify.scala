@@ -28,8 +28,8 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // drop the dedup operators' tracked multi-consumer caches between
-      // queries (each query rebuilds its own; 44 queries in one session
-      // must not accumulate cached blocks)
+      // queries (each query rebuilds its own; 50+ queries in one
+      // session must not accumulate cached blocks)
       graft.operators.Dedup.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
