@@ -768,13 +768,15 @@ object Bench {
         try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
         catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
-        // untimed: drop the dedup operators' tracked caches so 40+
-        // queries in one session cannot accumulate cached blocks
+        // untimed: drop the dedup/bloom operators' tracked caches so
+        // 50+ queries in one session cannot accumulate cached blocks
         graft.operators.Dedup.releaseCaches()
+        graft.operators.Bloom.releaseCaches()
         name -> dt
       }
     }
     graft.operators.Dedup.releaseCaches()
+    graft.operators.Bloom.releaseCaches()
     sharedClusters.foreach(_.unpersist())
     sharedPairs.foreach(_.unpersist())
     val total = results.map(_._2).sum

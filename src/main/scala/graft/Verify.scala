@@ -31,6 +31,7 @@ object Verify {
       // queries (each query rebuilds its own; 50+ queries in one
       // session must not accumulate cached blocks)
       graft.operators.Dedup.releaseCaches()
+      graft.operators.Bloom.releaseCaches()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -71,20 +71,30 @@ object Bloom {
       j => (h1 + j.cast("long") * h2) % m))
   }
 
-  /** Join-rendition membership probe: for each arrival, `bloom_hit`
-    * (all k positions set in the filter built from `committed`) and
-    * `is_dup` (fingerprint actually present — the ground truth the
-    * bloom approximates). Output: (idCol, fp, bloom_hit, is_dup).
+  /** Join-rendition membership probe: for each distinct arrival
+    * (idCol, fp), `bloom_hit` (all k positions set in the filter built
+    * from `committed`) and `is_dup` (fingerprint actually present — the
+    * ground truth the bloom approximates). Output:
+    * (idCol, fp, bloom_hit, is_dup), one row per distinct (idCol, fp)
+    * — duplicate arrival rows collapse, they do not distort the hit
+    * count (distinct matched POSITIONS are counted, not matched rows,
+    * so an at-least-once replayed arrival cannot manufacture a false
+    * negative).
     *
     * m = bitsPerKey * count(committed), computed as a one-row aggregate
     * cross-joined broadcast — sizing the filter costs no driver action
-    * and stays inside the plan.
+    * and stays inside the plan. The committed fingerprint table feeds
+    * three consumers (sizing, filter build, ground truth), so it is
+    * materialized through `caches` under the repo-wide recoverability
+    * contract ([[CacheRegistry]]) instead of being rescanned three
+    * times.
     */
   def membershipJoin(committed: DataFrame, arrivals: DataFrame,
       cContent: DataFrame => Column, aContent: DataFrame => Column,
-      idCol: String, bitsPerKey: Int = BitsPerKey, k: Int = K): DataFrame = {
-    val cFp = committed
-      .select(TextFunctions.fingerprint(cContent(committed)).as("fp"))
+      idCol: String, bitsPerKey: Int = BitsPerKey, k: Int = K,
+      caches: CacheRegistry = sharedCaches): DataFrame = {
+    val cFp = caches.materialize(committed
+      .select(TextFunctions.fingerprint(cContent(committed)).as("fp")))
     // floor at 1 bit: an EMPTY committed side must yield all-miss, not
     // an ANSI divide-by-zero in `% m` on the arrival probe
     val mDf = cFp.agg(greatest(count(lit(1)) * bitsPerKey, lit(1L))
@@ -103,7 +113,8 @@ object Bloom {
         explode(col("pa")).as("pos"))
     val hits = aPos.join(bits, Seq("pos"), "left")
       .groupBy(col(idCol), col("fp"), col("np"))
-      .agg(sum(coalesce(col("__set"), lit(0))).as("nh"))
+      .agg(countDistinct(when(col("__set").isNotNull, col("pos")))
+        .as("nh"))
     val cDup = cFp.distinct().withColumn("__dup", lit(1))
     hits.join(cDup, Seq("fp"), "left")
       .select(col(idCol), col("fp"),
@@ -111,35 +122,59 @@ object Bloom {
         col("__dup").isNotNull.as("is_dup"))
   }
 
+  /** Default registry for standalone callers (see [[CacheRegistry]]
+    * for the scoping caveat); Verify/Bench release it between queries.
+    */
+  private val sharedCaches = new CacheRegistry
+
+  /** Unpersist the shared registry's tables after the consuming action. */
+  def releaseCaches(): Unit = sharedCaches.releaseAll()
+
   /** Build the real bitset from a one-column fingerprint DataFrame:
     * per-partition fold into a local Array[Long], then a bitwise-OR
-    * tree reduce — one pass over the data, no shuffle of positions.
+    * tree reduce — ONE pass over the data (a zero-bitset seed row is
+    * unioned in so the reduce also covers the empty input, instead of
+    * a separate isEmpty job re-running the fingerprint scan), no
+    * shuffle of positions. NULL fingerprints (a null-content doc) are
+    * dropped — they set no bits, exactly as in [[membershipJoin]].
     */
   def bitsetOf(fps: DataFrame, m: Long, k: Int = K): Array[Long] = {
     require(m > 0 && m <= (1L << 34), s"bitset of $m bits not broadcastable")
     val spark = fps.sparkSession
     import spark.implicits._
     val words = ((m + 63) / 64).toInt
+    val fpCol = fps.columns.head
     val posDs = fps
-      .select(positions(col(fps.columns.head), lit(m), k).as("pa"))
+      .where(col(fpCol).isNotNull)
+      .select(positions(col(fpCol), lit(m), k).as("pa"))
       .as[Seq[Long]]
     val parts = posDs.mapPartitions { it =>
       val arr = new Array[Long](words)
       it.foreach(_.foreach(p => arr((p >> 6).toInt) |= 1L << (p & 63)))
       Iterator.single(arr)
     }
-    if (parts.isEmpty) new Array[Long](words)
-    else parts.reduce { (a, b) =>
-      var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a
-    }
+    parts.union(spark.createDataset(Seq(new Array[Long](words))))
+      .reduce { (a, b) =>
+        var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a
+      }
   }
 
   /** Narrow-map probe of a broadcast bitset (the executor-side shape):
     * same (idCol, fp, bloom_hit) flags as [[membershipJoin]] minus the
-    * ground-truth column, zero shuffles.
+    * ground-truth column, zero shuffles. The id column must be an
+    * integral type (asserted up front — a silent cast-to-null would
+    * otherwise kill the typed map at runtime); a NULL fingerprint (a
+    * null-content arrival) probes to bloom_hit = false, matching the
+    * join rendition.
     */
   def probeBitset(arrivals: DataFrame, aContent: DataFrame => Column,
       idCol: String, bits: Array[Long], m: Long, k: Int = K): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType,
+      ShortType}
+    val idType = arrivals.schema(idCol).dataType
+    require(Set[org.apache.spark.sql.types.DataType](
+        ByteType, ShortType, IntegerType, LongType).contains(idType),
+      s"probeBitset needs an integral id column; $idCol is $idType")
     val spark = arrivals.sparkSession
     import spark.implicits._
     val bc = spark.sparkContext.broadcast(bits)
@@ -148,14 +183,17 @@ object Bloom {
         TextFunctions.fingerprint(aContent(arrivals)).as("fp"))
       .as[(Long, String)]
       .map { case (id, fp) =>
-        val h1 = java.lang.Long.parseLong(fp.substring(0, 8), 16)
-        val h2 = java.lang.Long.parseLong(fp.substring(8, 16), 16)
-        val arr = bc.value
-        var j = 0; var hit = true
-        while (j < k && hit) {
-          val p = (h1 + j * h2) % m
-          hit = (arr((p >> 6).toInt) & (1L << (p & 63))) != 0
-          j += 1
+        val hit = fp != null && {
+          val h1 = java.lang.Long.parseLong(fp.substring(0, 8), 16)
+          val h2 = java.lang.Long.parseLong(fp.substring(8, 16), 16)
+          val arr = bc.value
+          var j = 0; var h = true
+          while (j < k && h) {
+            val p = (h1 + j * h2) % m
+            h = (arr((p >> 6).toInt) & (1L << (p & 63))) != 0
+            j += 1
+          }
+          h
         }
         (id, fp, hit)
       }

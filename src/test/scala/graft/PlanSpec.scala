@@ -202,6 +202,26 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("b1: bloom probe joins on bounded keys; the m row broadcasts") {
+    val df = SparkEntry.queries("b1_bloom_dedup")(spark, dir)
+    df.collect() // finalize the adaptive plan
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    // the filter-sizing row (m) rides a broadcast cross join — never a
+    // CartesianProduct — and nothing drops to a UDF
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // every hash exchange carries a bounded key (position < m, 16-byte
+    // fp, doc_id) — the arrival construction's self-join, the bits
+    // distinct, the pos probe join, the per-doc groupBy, and the
+    // ground-truth fp join; document text never shuffles
+    assert(countExchanges(p) <= 9, p)
+    // the committed fingerprint table is materialized once for its
+    // three consumers, not rescanned (the CacheRegistry contract)
+    assert(p.contains("InMemoryTableScan"), p)
+    graft.operators.Bloom.releaseCaches()
+  }
+
   test("f1: funnel needs only the planted self-join + one fp window shuffle") {
     val df = SparkEntry.queries("f1_quality_funnel")(spark, dir)
     df.collect() // finalize the adaptive plan

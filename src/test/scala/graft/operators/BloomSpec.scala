@@ -97,6 +97,51 @@ class BloomSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate arrival rows cannot manufacture a false negative") {
+    import spark.implicits._
+    val (committed, arrivals) = corpus
+    // replay every arrival twice (at-least-once delivery): hit counting
+    // must be per distinct position, not per row, and the output stays
+    // one row per distinct (doc_id, fp)
+    val replayed = arrivals.union(arrivals)
+    val out = Bloom.membershipJoin(committed, replayed,
+      df => df("text"), df => df("text"), "doc_id").collect()
+    assert(out.length == 100)
+    val dups = out.filter(_.getAs[Boolean]("is_dup"))
+    assert(dups.length == 50)
+    assert(dups.forall(_.getAs[Boolean]("bloom_hit")),
+      "replayed arrivals must still hit the filter")
+  }
+
+  test("null-content arrivals: both renditions report a miss, no crash") {
+    import spark.implicits._
+    val (committed, arrivals) = corpus
+    val withNull = arrivals
+      .union(Seq((2000L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val joinOut = Bloom.membershipJoin(committed, withNull,
+        df => df("text"), df => df("text"), "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(2), r.getBoolean(3))).toMap
+    assert(joinOut(2000L) == ((false, false)))
+    val m = committed.count() * Bloom.BitsPerKey
+    val cFpNull = committed
+      .union(Seq((999L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+      .select(graft.functions.TextFunctions.fingerprint($"text").as("fp"))
+    // a null committed fingerprint sets no bits and does not crash the
+    // fold; a null arrival probes to false
+    val bits = Bloom.bitsetOf(cFpNull, m)
+    val probed = Bloom.probeBitset(withNull, df => df("text"),
+        "doc_id", bits, m)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(!probed(2000L))
+    // and a non-integral id column is rejected up front, not cast to
+    // null inside the typed map
+    val strIds = Seq(("doc-1", "body")).toDF("doc_id", "text")
+    assertThrows[IllegalArgumentException] {
+      Bloom.probeBitset(strIds, df => df("text"), "doc_id", bits, m)
+    }
+  }
+
   test("empty committed side: nothing hits, nothing is a dup") {
     import spark.implicits._
     val (_, arrivals) = corpus
