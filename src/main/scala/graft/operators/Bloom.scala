@@ -182,21 +182,26 @@ object Bloom {
       .select(col(idCol).cast("long").as("id"),
         TextFunctions.fingerprint(aContent(arrivals)).as("fp"))
       .as[(Long, String)]
-      .map { case (id, fp) =>
-        val hit = fp != null && {
-          val h1 = java.lang.Long.parseLong(fp.substring(0, 8), 16)
-          val h2 = java.lang.Long.parseLong(fp.substring(8, 16), 16)
-          val arr = bc.value
-          var j = 0; var h = true
-          while (j < k && h) {
-            val p = (h1 + j * h2) % m
-            h = (arr((p >> 6).toInt) & (1L << (p & 63))) != 0
-            j += 1
-          }
-          h
-        }
-        (id, fp, hit)
-      }
+      .map { case (id, fp) => (id, fp, probeOne(fp, bc.value, m, k)) }
       .toDF(idCol, "fp", "bloom_hit")
   }
+
+  /** Scalar probe of one hex fingerprint against a local bitset — the
+    * executor-side kernel [[probeBitset]] and the streaming ingest
+    * pre-filter ([[graft.streaming.StreamExtract.dedupAgainstSnapshot]])
+    * share. A null fingerprint is a miss.
+    */
+  private[graft] def probeOne(fp: String, arr: Array[Long], m: Long,
+      k: Int = K): Boolean =
+    fp != null && {
+      val h1 = java.lang.Long.parseLong(fp.substring(0, 8), 16)
+      val h2 = java.lang.Long.parseLong(fp.substring(8, 16), 16)
+      var j = 0; var h = true
+      while (j < k && h) {
+        val p = (h1 + j * h2) % m
+        h = (arr((p >> 6).toInt) & (1L << (p & 63))) != 0
+        j += 1
+      }
+      h
+    }
 }

@@ -164,7 +164,7 @@ object StreamExtract {
   def dedupAgainstSnapshot(batch: Dataset[ExtractedDoc],
       store: graft.snapshot.SnapshotStore, nearDup: Boolean = false,
       n: Int = 3, perms: Int = 64, bands: Int = 16,
-      minJ: Double = 0.9,
+      minJ: Double = 0.9, bloomPrefilter: Boolean = false,
       caches: graft.operators.CacheRegistry = sharedCaches)
       : Dataset[ExtractedDoc] = {
     def materialize(df: DataFrame): DataFrame = caches.materialize(df)
@@ -180,8 +180,36 @@ object StreamExtract {
     val committed = materialize(committedAll
       .select(col("doc_id").cast("string").as("doc_id"),
         contentOf(committedAll).as("content")))
-    var kept = dropCommittedExact(batch.toDF(), committed,
-      contentOf, df => df("content"))
+    val fp = graft.functions.TextFunctions.fingerprint _
+    // optional Bloom pre-filter (the 10^12-doc shape): arrivals whose
+    // fingerprint misses the committed bitset are DEFINITELY new (a
+    // Bloom filter has no false negatives — Bloom scaladoc + BloomSpec)
+    // and skip the anti-join entirely; only the possibly-present
+    // subset pays the shuffle. Exactness is unchanged. Here the bitset
+    // is built from the (already-materialized) committed projection;
+    // at snapshot scale it is maintained incrementally instead —
+    // each commit ORs its batch's bitset into the stored filter.
+    var kept =
+      if (bloomPrefilter) {
+        import graft.operators.Bloom
+        val m = math.max(committed.count() * Bloom.BitsPerKey, 1L)
+        val bits = Bloom.bitsetOf(
+          committed.select(fp(col("content")).as("fp")), m)
+        val bc = spark.sparkContext.broadcast(bits)
+        val bdf = batch.toDF()
+        val probed = materialize(bdf
+          .select(struct(bdf.columns.toIndexedSeq.map(col): _*).as("_1"),
+            fp(contentOf(bdf)).as("_2"))
+          .as[(ExtractedDoc, String)]
+          .map { case (d, f) => (d, Bloom.probeOne(f, bc.value, m)) }
+          .toDF("doc", "hit"))
+        val definitelyNew = probed.filter(!col("hit")).select("doc.*")
+        val maybeCommitted = probed.filter(col("hit")).select("doc.*")
+        dropCommittedExact(maybeCommitted, committed,
+          contentOf, df => df("content"))
+          .unionByName(definitelyNew)
+      } else dropCommittedExact(batch.toDF(), committed,
+        contentOf, df => df("content"))
     if (nearDup) {
       import graft.operators.Dedup
       val toks = graft.functions.TextFunctions.tokens _

@@ -93,6 +93,27 @@ class StreamExtractSpec extends AnyFunSuite {
         new SnapshotStore(storeRoot), nearDup = true, minJ = 0.5)
       .select($"doc_id").as[String].collect().toSet
     assert(out == Set("fresh"), out.mkString(","))
+
+    // Bloom pre-filter parity: with the bitset probe routing arrivals
+    // around the anti-join, survivors must be IDENTICAL — a replayed
+    // exact duplicate of committed content is still dropped (it hits
+    // the filter and loses the exact join) and a fresh doc still
+    // survives (whether it missed the filter or won the join)
+    val exactDup = table.as[ExtractedDoc].collect().head
+      .copy(doc_id = "bloom-dup")
+    val bloomBatch = Seq(exactDup,
+      ExtractedDoc("bloom-fresh",
+        Seq(OutSpan("html", "unseen bloom probe content", null, 0)),
+        1, true, null)).toDS()
+    val plain = StreamExtract.dedupAgainstSnapshot(bloomBatch,
+        new SnapshotStore(storeRoot))
+      .select($"doc_id").as[String].collect().toSet
+    val bloomed = StreamExtract.dedupAgainstSnapshot(bloomBatch,
+        new SnapshotStore(storeRoot), bloomPrefilter = true)
+      .select($"doc_id").as[String].collect().toSet
+    assert(plain == Set("bloom-fresh"), plain.mkString(","))
+    assert(bloomed == plain, bloomed.mkString(","))
+    StreamExtract.releaseBatchCaches()
   }
 
   test("watermarked sliding-window aggregation over events") {
