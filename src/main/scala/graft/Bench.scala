@@ -625,9 +625,20 @@ object Bench {
           w.thr4 >= 0.8 * peers.map(_.thr4).max &&
           w.thr16 >= 0.8 * peers.map(_.thr16).max
       }
-    while (!healthyQuiet(rawWindows.toSeq).exists(_.raw >= RawTarget) &&
-        (rawWindows.size - mainRaw.size) < rawRetries)
-      rawWindows += measureRawWindow()
+    // fatal-safe like skewSideline: a failure here (disk full writing
+    // the 4x raw corpus, an OOM in a retry trial) must stop the raw
+    // sampling, not escape main and discard the scaling windows
+    // measured minutes earlier before any artifact is written
+    try {
+      while (!healthyQuiet(rawWindows.toSeq).exists(_.raw >= RawTarget) &&
+          (rawWindows.size - mainRaw.size) < rawRetries)
+        rawWindows += measureRawWindow()
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] raw retry loop ABORTED (keeping " +
+          s"${rawWindows.size} sampled windows): " +
+          s"${e.getClass.getName}: ${e.getMessage}")
+    }
     val quietRaw = healthyQuiet(rawWindows.toSeq)
     val rawMedianQualified = median(use.map(w => (w.thr16 / w.thr4) / 4.0))
     val rawHeadline =
@@ -741,6 +752,11 @@ object Bench {
       if (name == "d5_dup_clusters") {
         try {
           val pairs = pairsOnce() // untimed: billed on d2's line
+          // untimed: the pair table itself is persisted in sharedPairs;
+          // jaccardPairs' shingle/token intermediates in the registry
+          // are dead weight once pairs materialize — drop them BEFORE
+          // the timed region, not after d7's else branch finally runs
+          graft.operators.Dedup.releaseCaches()
           val t0 = System.nanoTime()
           try {
             val cl = graft.operators.Dedup.dupClustersLargeStar(pairs)
@@ -748,12 +764,15 @@ object Bench {
             cl.write.format("noop").mode("overwrite").save()
             sharedClusters = Some(cl)
           } catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.operators.Dedup.releaseCaches() // untimed, as in else
+          name -> dt
         } catch { case _: Throwable => name -> 0.0 }
       } else if (name == "d6_dedup_corpus") {
         try {
           val docs = spark.read.parquet(s"$sfDir/documents.parquet")
           val pairs = pairsOnce() // fallback input if d5's line failed
+          graft.operators.Dedup.releaseCaches() // untimed (see d5)
           val t0 = System.nanoTime()
           try {
             graft.operators.Dedup.dedupCorpus(docs, "text", "doc_id",
@@ -761,7 +780,9 @@ object Bench {
                 precomputedClusters = sharedClusters)
               .write.format("noop").mode("overwrite").save()
           } catch { case _: Throwable => () }
-          name -> (System.nanoTime() - t0) / 1e9
+          val dt = (System.nanoTime() - t0) / 1e9
+          graft.operators.Dedup.releaseCaches()
+          name -> dt
         } catch { case _: Throwable => name -> 0.0 }
       } else {
         val t0 = System.nanoTime()

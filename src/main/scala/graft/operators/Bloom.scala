@@ -184,6 +184,10 @@ object Bloom {
       .as[(Long, String)]
       .map { case (id, fp) => (id, fp, probeOne(fp, bc.value, m, k)) }
       .toDF(idCol, "fp", "bloom_hit")
+      // restore the caller's id type (the typed map rode a long): the
+      // renditions promise schema parity, so an int id must come back
+      // int, not silently widened
+      .withColumn(idCol, col(idCol).cast(idType))
   }
 
   /** Scalar probe of one hex fingerprint against a local bitset — the

@@ -31,12 +31,19 @@ import scala.util.control.NonFatal
 final class CacheRegistry {
   private val tracked = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
 
-  /** Persist + eagerly materialize `df`, tracking it for release. */
+  /** Persist + eagerly materialize `df`, tracking it for release. The
+    * table is tracked BEFORE the eager count: persist() registers the
+    * plan with the session's CacheManager immediately, so a count that
+    * throws (per-query failures are designed outcomes in Verify/Bench)
+    * must still leave the table releasable — tracked-after-count would
+    * leak a persisted-but-untracked table into the shared session for
+    * every query that follows.
+    */
   def materialize(df: DataFrame,
       level: StorageLevel = StorageLevel.MEMORY_AND_DISK): DataFrame = {
     val p = df.persist(level)
-    p.count()
     synchronized { tracked += p }
+    p.count()
     p
   }
 

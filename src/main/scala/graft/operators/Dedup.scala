@@ -33,7 +33,12 @@ object Dedup {
     * `releaseCaches()`); a long-lived session (bench loops, notebook
     * use) calls `releaseCaches()` between runs so repeated dedup calls
     * cannot accumulate cached blocks until eviction pressure
-    * (round-5 ADVICE).
+    * (round-5 ADVICE). The sequential contract is load-bearing: two
+    * CONCURRENT jobs in one session must not share this instance (one
+    * job's release would unpersist the other's in-flight tables) —
+    * concurrent callers should take the parameterized-registry shape
+    * instead ([[Bloom.membershipJoin]]'s `caches` param,
+    * StreamExtract's per-micro-batch instance).
     */
   private val caches = new CacheRegistry
 
