@@ -503,6 +503,31 @@ object SparkEntry {
         .orderBy($"stage_idx")
     }),
 
+    // the calibration step that PICKS f1's cutoffs: per-language exact
+    // quantiles of document length and token count (funnel thresholds
+    // are set from the corpus's own distribution, not guessed). Spark's
+    // exact `percentile` and DuckDB's `quantile_cont` share the same
+    // definition — sorted values, rank p*(n-1), linear interpolation
+    // lower + (upper-lower)*frac — so the oracle replays it exactly.
+    // One shuffle on the bounded lang key; scale note: exact percentile
+    // buffers each group's values on its reducer, fine for bounded
+    // per-group cardinality — at 10^9+ rows/group swap in
+    // percentile_approx (mergeable t-digest sketch, same plan shape).
+    "f2_threshold_calibrate" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n"),
+          percentile($"n_chars", lit(0.5)).as("len_p50"),
+          percentile($"n_chars", lit(0.9)).as("len_p90"),
+          percentile($"n_chars", lit(0.99)).as("len_p99"),
+          percentile(TextFunctions.tokenCount($"text"), lit(0.5))
+            .as("tok_p50"),
+          percentile(TextFunctions.tokenCount($"text"), lit(0.9))
+            .as("tok_p90"))
+        .orderBy($"lang")
+    }),
+
     // CCNet-style unigram log-perplexity: mean nats/token under the
     // corpus's own unigram LM (Corpus.unigramNll — quantized code
     // lengths, exact decimal sums; see the operator scaladoc for the
@@ -1613,6 +1638,20 @@ object SparkEntry {
     // f1: i1's planted-duplicate construction, t3's lang CASE, t2's
     // quality formula, keep-first dedup via the same fp window — then
     // the 4-row funnel by UNION ALL over one aggregate row
+    // quantile_cont shares percentile's exact definition (rank p*(n-1),
+    // linear interpolation); token count via the same alnum-run class
+    // as t1's oracle
+    "f2_threshold_calibrate" ->
+      """SELECT lang, count(*) AS n,
+         quantile_cont(n_chars, 0.5) AS len_p50,
+         quantile_cont(n_chars, 0.9) AS len_p90,
+         quantile_cont(n_chars, 0.99) AS len_p99,
+         quantile_cont(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0.5)
+           AS tok_p50,
+         quantile_cont(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 0.9)
+           AS tok_p90
+         FROM documents GROUP BY lang ORDER BY lang""",
+
     "f1_quality_funnel" ->
       s"""WITH planted AS (
            SELECT d.doc_id,

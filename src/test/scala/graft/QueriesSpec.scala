@@ -59,6 +59,35 @@ class QueriesSpec extends AnyFunSuite {
     assert(!got("en").contains("\n\n\n"), s"extra separator: ${got("en")}")
   }
 
+  test("f2: per-lang quantiles match the closed-form interpolation") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("f2cal").toString
+    // lang aa: n_chars {10,20,30,40} -> p50 = 25 (rank 1.5), p90 = 37
+    // (rank 2.7), p99 = 39.7 (rank 2.97); token counts {1,2,3,4} via
+    // alnum runs -> tok_p50 = 2.5, tok_p90 = 3.7. lang bb: single row,
+    // every quantile IS the value.
+    Seq(
+      (1L, "w", "aa", 10L), (2L, "w x", "aa", 20L),
+      (3L, "w x y", "aa", 30L), (4L, "w x y z", "aa", 40L),
+      (5L, "only doc", "bb", 7L))
+      .toDF("doc_id", "text", "lang", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = SparkEntry.queries("f2_threshold_calibrate")(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), Seq(r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5), r.getDouble(6)))).toMap
+    // 1e-9 tolerance: rank = p*(n-1) is inexact in binary (0.9*3 !=
+    // 2.7); what the HASH gate needs is that Spark and DuckDB compute
+    // the identical doubles, which the shared formula guarantees
+    def close(a: Seq[Double], b: Seq[Double]) =
+      a.size == b.size && a.zip(b).forall { case (x, y) => math.abs(x - y) < 1e-9 }
+    assert(got("aa")._1 == 4L &&
+      close(got("aa")._2, Seq(25.0, 37.0, 39.7, 2.5, 3.7)),
+      got("aa").toString)
+    assert(got("bb")._1 == 1L &&
+      close(got("bb")._2, Seq(7.0, 7.0, 7.0, 2.0, 2.0)), got("bb").toString)
+  }
+
   test("media decode is deterministic and total") {
     val bytes = Media.pngBytes(20, 30, 2, "hello world".getBytes("UTF-8"))
     val m1 = Media.decode("x", bytes)
