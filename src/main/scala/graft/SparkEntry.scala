@@ -33,6 +33,12 @@ object SparkEntry {
   private[graft] val MixWeights: Seq[(String, Double)] = Seq(
     "en" -> 1.5, "de" -> 0.6, "fr" -> 1.0, "es" -> 0.25, "zh" -> 0.0)
 
+  /** w2's held-out split fractions — one constant feeds both the Spark
+    * plan and the generated oracle SQL's integer thresholds.
+    */
+  private[graft] val SplitFracs: Seq[(String, Double)] = Seq(
+    "train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+
   /** d8's n-gram width (Lee et al. use 50 BPE tokens; 8 whitespace
     * tokens is the same idea scaled to this corpus's ~30-token docs).
     * One constant feeds the query and the oracle SQL.
@@ -638,6 +644,16 @@ object SparkEntry {
       Corpus.weightedMix(t(s, dir, "documents"), "doc_id", "lang",
           MixWeights)
         .orderBy("doc_id", "copy")
+    }),
+
+    // deterministic held-out split: same u32(md5(id)) uniform as w1,
+    // cumulative integer thresholds, last split takes the remainder —
+    // the assignment is engine-independent and replayed verbatim by
+    // the oracle (thresholds interpolated from the same constant).
+    "w2_data_split" -> ((s, dir) => {
+      import s.implicits._
+      Corpus.hashSplit(t(s, dir, "documents"), "doc_id", SplitFracs)
+        .orderBy($"doc_id")
     }),
 
     // incremental ingest dedup (the arrival path of a continuously-fed
@@ -1908,6 +1924,17 @@ object SparkEntry {
          FROM (SELECT doc_id FROM documents WHERE doc_id % 97 <> 0) d
          LEFT JOIN hits h ON h.doc_id = d.doc_id
          ORDER BY d.doc_id""",
+
+    "w2_data_split" -> {
+      val thrs = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail.init
+        .map(c => math.floor(c * 4294967296.0).toLong)
+      val cases = SplitFracs.init.zip(thrs).map { case ((name, _), t) =>
+        s"WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < $t THEN '$name'"
+      }.mkString(" ")
+      s"""SELECT doc_id,
+           CASE $cases ELSE '${SplitFracs.last._1}' END AS split
+         FROM documents ORDER BY doc_id"""
+    },
 
     "w1_corpus_mix" -> {
       val whole = MixWeights.map { case (k, w) =>

@@ -64,6 +64,32 @@ object Corpus {
       .drop("copies")
   }
 
+  /** Deterministic train/val/test assignment: a doc's split is a pure
+    * function of its id — u32(id) against cumulative integer
+    * thresholds — so the SAME doc lands in the SAME split across runs,
+    * retries, repartitions, and engines. That invariance is the whole
+    * point: a held-out set stays held out for the life of the corpus
+    * (a random split re-drawn per run leaks eval docs into training
+    * the first time anything is recomputed). Same zero-shuffle,
+    * UDF-free codegen'd shape as [[weightedMix]]; the last split takes
+    * the id-space remainder so fractions need not divide 2^32 evenly.
+    */
+  def hashSplit(docs: DataFrame, idCol: String,
+      splits: Seq[(String, Double)]): DataFrame = {
+    require(splits.size >= 2 && splits.forall(_._2 > 0),
+      "need >= 2 splits with positive fractions")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      "split fractions must sum to 1")
+    val thrs = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * 4294967296.0).toLong)
+    val u = u32(col(idCol))
+    val assigned = splits.init.zip(thrs)
+      .foldRight(lit(splits.last._1): Column) {
+        case (((name, _), t), acc) => when(u < t, lit(name)).otherwise(acc)
+      }
+    docs.select(col(idCol), assigned.as("split"))
+  }
+
   /** Benchmark n-gram decontamination: for every corpus doc, the
     * number of DISTINCT word n-grams it shares with the benchmark
     * (eval-set) corpus — training sets are scrubbed of docs carrying

@@ -61,6 +61,35 @@ class CorpusSpec extends AnyFunSuite {
     assert(run(2) == run(7)) // the no-RNG-state contract
   }
 
+  test("hashSplit: per-doc fate matches the md5 closed form, invariant") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val t1 = math.floor(0.8 * 4294967296.0).toLong
+    val t2 = math.floor(0.9 * 4294967296.0).toLong
+    val docs = (0L until 500L).map(i => Tuple1(i)).toDF("doc_id")
+    val got = Corpus.hashSplit(docs, "doc_id", splits)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    got.foreach { case (id, s) =>
+      val u = jdkU32(id.toString)
+      val expect = if (u < t1) "train" else if (u < t2) "val" else "test"
+      assert(s == expect, s"doc $id: u=$u")
+    }
+    // every split nonempty at 500 docs and fractions roughly honored
+    val byS = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byS("train") > 300 && byS("val") > 10 && byS("test") > 10, byS)
+    // invariance under repartitioning (the held-out contract)
+    val rep = Corpus.hashSplit(docs.repartition(7), "doc_id", splits)
+      .orderBy("doc_id").as[(Long, String)].collect()
+    assert(rep.toSeq == got.toSeq)
+    // malformed fraction vectors are rejected up front
+    assertThrows[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    assertThrows[IllegalArgumentException] {
+      Corpus.hashSplit(docs, "doc_id", Seq("a" -> 1.0))
+    }
+  }
+
   test("contaminationHits: planted overlap is counted exactly") {
     import spark.implicits._
     // bench doc grams (n=3): {a b c, b c d, c d e}
