@@ -513,8 +513,12 @@ object SparkEntry {
     // quantiles of document length and token count (funnel thresholds
     // are set from the corpus's own distribution, not guessed). Spark's
     // exact `percentile` and DuckDB's `quantile_cont` share the same
-    // definition — sorted values, rank p*(n-1), linear interpolation
-    // lower + (upper-lower)*frac — so the oracle replays it exactly.
+    // definition — sorted values, rank pos = p*(n-1), then the
+    // TWO-SIDED interpolation (higher-pos)*lower + (pos-lower)*higher
+    // (verified in Spark's PercentileBase.getPercentile and bitwise
+    // against DuckDB on randomized inputs; the one-sided
+    // lower+(upper-lower)*frac form differs by 1 ulp on some inputs
+    // and would fail the hash gate) — so the oracle replays it exactly.
     // One shuffle on the bounded lang key; scale note: exact percentile
     // buffers each group's values on its reducer, fine for bounded
     // per-group cardinality — at 10^9+ rows/group swap in
@@ -1651,12 +1655,9 @@ object SparkEntry {
              '${TextFunctions.PhoneRe}', '<PHONE>', 'g') AS redacted
          FROM raw ORDER BY doc_id""",
 
-    // f1: i1's planted-duplicate construction, t3's lang CASE, t2's
-    // quality formula, keep-first dedup via the same fp window — then
-    // the 4-row funnel by UNION ALL over one aggregate row
-    // quantile_cont shares percentile's exact definition (rank p*(n-1),
-    // linear interpolation); token count via the same alnum-run class
-    // as t1's oracle
+    // f2: quantile_cont shares percentile's exact definition (rank
+    // p*(n-1), two-sided interpolation — see the query-side comment);
+    // token count via the same alnum-run class as t1's oracle
     "f2_threshold_calibrate" ->
       """SELECT lang, count(*) AS n,
          quantile_cont(n_chars, 0.5) AS len_p50,
@@ -1668,6 +1669,9 @@ object SparkEntry {
            AS tok_p90
          FROM documents GROUP BY lang ORDER BY lang""",
 
+    // f1: i1's planted-duplicate construction, t3's lang CASE, t2's
+    // quality formula, keep-first dedup via the same fp window — then
+    // the 4-row funnel by UNION ALL over one aggregate row
     "f1_quality_funnel" ->
       s"""WITH planted AS (
            SELECT d.doc_id,
@@ -1926,8 +1930,7 @@ object SparkEntry {
          ORDER BY d.doc_id""",
 
     "w2_data_split" -> {
-      val thrs = SplitFracs.map(_._2).scanLeft(0.0)(_ + _).tail.init
-        .map(c => math.floor(c * 4294967296.0).toLong)
+      val thrs = Corpus.cumThresholds(SplitFracs)
       val cases = SplitFracs.init.zip(thrs).map { case ((name, _), t) =>
         s"WHEN ('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT < $t THEN '$name'"
       }.mkString(" ")

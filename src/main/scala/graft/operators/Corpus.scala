@@ -80,8 +80,7 @@ object Corpus {
       "need >= 2 splits with positive fractions")
     require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       "split fractions must sum to 1")
-    val thrs = splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
-      .map(c => math.floor(c * 4294967296.0).toLong)
+    val thrs = cumThresholds(splits)
     val u = u32(col(idCol))
     val assigned = splits.init.zip(thrs)
       .foldRight(lit(splits.last._1): Column) {
@@ -89,6 +88,14 @@ object Corpus {
       }
     docs.select(col(idCol), assigned.as("split"))
   }
+
+  /** Cumulative integer split thresholds (one per non-final split) —
+    * shared with the w2 SQL-oracle generator so both engines compare
+    * the same exact constants, like [[fracThreshold]] for the mix.
+    */
+  private[graft] def cumThresholds(splits: Seq[(String, Double)]): Seq[Long] =
+    splits.map(_._2).scanLeft(0.0)(_ + _).tail.init
+      .map(c => math.floor(c * 4294967296.0).toLong)
 
   /** Benchmark n-gram decontamination: for every corpus doc, the
     * number of DISTINCT word n-grams it shares with the benchmark
