@@ -202,6 +202,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("w2: the split assignment is a zero-shuffle narrow map, no UDF") {
+    val df = SparkEntry.queries("w2_data_split")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    // only the final orderBy's range exchange may appear — the
+    // assignment itself adds no hash exchange over the scan
+    assert(countExchanges(p) == 0, p)
+  }
+
+  test("f2: quantiles are one bounded-key aggregation, no UDF") {
+    val df = SparkEntry.queries("f2_threshold_calibrate")(spark, dir)
+    df.collect()
+    val p = finalPlan(df.queryExecution.executedPlan.toString)
+    assert(!p.contains("ScalaUDF") && !p.contains("BatchEvalPython"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // exact percentile is a TypedImperativeAggregate -> object hash
+    // aggregate, partial on the scan side, ONE exchange on lang
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(countExchanges(p) <= 1, p)
+  }
+
   test("b1: bloom probe joins on bounded keys; the m row broadcasts") {
     val df = SparkEntry.queries("b1_bloom_dedup")(spark, dir)
     df.collect() // finalize the adaptive plan
