@@ -303,12 +303,16 @@ object SparkEntry {
     // the oracle's list-slicing rendition.
     "c1_token_chunks" -> ((s, dir) => {
       import s.implicits._
+      // JIT chunker kernel (r06) — TextChunkSpec pins it row-for-row
+      // against the tokenChunks generator expression
       t(s, dir, "documents")
         .filter($"text".isNotNull)
-        .select($"doc_id",
-          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride))
-            .as("c"))
-        .select($"doc_id", $"c.chunk_idx", $"c.n_tok", $"c.chunk")
+        .select($"doc_id", $"text").as[(Long, String)]
+        .mapPartitions(_.flatMap { case (id, tx) =>
+          TextFunctions.tokenChunksKernel(tx, C1MaxTok, C1Stride)
+            .map { case (idx, nt, chunk) => (id, idx, nt, chunk) }
+        })
+        .toDF("doc_id", "chunk_idx", "n_tok", "chunk")
         .orderBy($"doc_id", $"chunk_idx")
     }),
 
@@ -326,12 +330,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"shard").orderBy($"doc_id", $"chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .filter($"text".isNotNull)
-        .select($"doc_id",
-          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride,
-            withText = false)).as("c"))
-        .select($"doc_id", $"c.chunk_idx", $"c.n_tok")
+      chunkGrid(s, dir) // JIT chunker kernel (r06), shared with c1/c3
         .withColumn("shard", expr(s"doc_id div $C2Shard"))
         .withColumn("cum_before",
           sum($"n_tok").over(w) - $"n_tok")
@@ -358,12 +357,7 @@ object SparkEntry {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy($"shard").orderBy($"doc_id", $"chunk_idx")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      t(s, dir, "documents")
-        .filter($"text".isNotNull)
-        .select($"doc_id",
-          explode(TextFunctions.tokenChunks($"text", C1MaxTok, C1Stride,
-            withText = false)).as("c"))
-        .select($"doc_id", $"c.chunk_idx", $"c.n_tok")
+      chunkGrid(s, dir) // JIT chunker kernel (r06), shared with c1/c2
         .withColumn("shard", expr(s"doc_id div $C2Shard"))
         .withColumn("cum_before", sum($"n_tok").over(w) - $"n_tok")
         // integer div throughout: exact at any magnitude, bit-matching
@@ -425,10 +419,18 @@ object SparkEntry {
     // counts the expensive way (unnest + GROUP BY per gram).
     "t7_repetition" -> ((s, dir) => {
       import s.implicits._
+      // JIT kernel form of repetitionStats (r06: the Column form's
+      // aggregate() HOFs are interpreted per gram — TextFunctionsSpec
+      // pins kernel == expression bit-for-bit on this corpus)
       t(s, dir, "documents")
-        .select($"doc_id", TextFunctions.repetitionStats($"text").as("r"))
-        .select($"doc_id", $"r.n_tok", $"r.dup_tok_frac",
-          $"r.top2_frac", $"r.dup3_frac")
+        .select($"doc_id", $"text")
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, tx) =>
+          val (nTok, dupTok, top2, dup3) =
+            TextFunctions.repetitionStatsKernel(tx)
+          (id, nTok, dupTok, top2, dup3)
+        })
+        .toDF("doc_id", "n_tok", "dup_tok_frac", "top2_frac", "dup3_frac")
         .orderBy($"doc_id")
     }),
 
@@ -1130,6 +1132,23 @@ object SparkEntry {
   // cluster deployments.
   private[graft] val M2PayloadStorage =
     org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+
+  /** The (doc_id, chunk_idx, n_tok) chunk grid c2/c3 pack from — the
+    * withText=false kernel rendition of c1's chunking (one definition
+    * so the packers and the chunker can never drift).
+    */
+  private def chunkGrid(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "documents")
+      .filter($"text".isNotNull)
+      .select($"doc_id", $"text").as[(Long, String)]
+      .mapPartitions(_.flatMap { case (id, tx) =>
+        TextFunctions.tokenChunksKernel(tx, C1MaxTok, C1Stride,
+            withText = false)
+          .map { case (idx, nt, _) => (id, idx, nt) }
+      })
+      .toDF("doc_id", "chunk_idx", "n_tok")
+  }
 
   /** The exact near-dup pair table shared by d2 (which outputs it) and
     * d5 (which clusters it) — one definition so the two queries and the

@@ -38,14 +38,21 @@ object JsonRepair {
     * times; an attribute reference is free, a regex is not).
     */
   def channelRaw(c: Column): Column =
-    nonEmpty(regexp_extract(c, "(?s)<\\|message\\|>\\s*(\\{.*)", 1))
+    // contains() pre-guard (r06): the regex can only match when the
+    // literal marker is present, so the (much cheaper) substring scan
+    // short-circuits the regex on the non-channel majority of rows;
+    // when(false) yields null, exactly like nonEmpty of a no-match ""
+    when(c.contains("<|message|>"),
+      nonEmpty(regexp_extract(c, "(?s)<\\|message\\|>\\s*(\\{.*)", 1)))
 
   /** Stage 1: brace slice of whatever follows the channel marker. */
   def channelPayload(c: Column): Column = braceSlice(channelRaw(c))
 
   /** Stage 2: fenced ```json block (non-greedy, like the reference). */
   def fencePayload(c: Column): Column =
-    nonEmpty(regexp_extract(c, "(?s)```(?:json)?\\s*(\\{.*?\\})\\s*```", 1))
+    // same contains() pre-guard as channelRaw: no backticks, no fence
+    when(c.contains("```"),
+      nonEmpty(regexp_extract(c, "(?s)```(?:json)?\\s*(\\{.*?\\})\\s*```", 1)))
 
   /** Which cascade stage produced the payload (0 = none). */
   def repairStage(c: Column): Column =

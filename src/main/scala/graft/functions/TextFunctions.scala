@@ -55,6 +55,47 @@ object TextFunctions {
     })
   }
 
+  /** JIT kernel form of [[tokenChunks]] (r06: the generator-side HOF is
+    * interpreted per chunk and its expression tree dominates small-stage
+    * time; the kernel emits the same (chunk_idx, n_tok, chunk) rows from
+    * the same evaluation chain — UTF8String.trim, java regex "\\s+"
+    * split with limit -1 (leading/trailing empties kept, exactly like
+    * StringSplit), ceil over double for the window count, " "-joined
+    * slices). TextChunkSpec pins kernel == expression row-for-row.
+    * `withText = false` skips building the chunk strings (null third
+    * element) for grid-only consumers (c2/c3). Callers filter null text
+    * upstream, matching the expression queries.
+    */
+  def tokenChunksKernel(text: String, maxTok: Int, stride: Int,
+      withText: Boolean = true): Iterator[(Int, Int, String)] = {
+    require(maxTok >= 1 && stride >= 1 && stride <= maxTok,
+      "need 1 <= stride <= maxTok")
+    val trimmed =
+      org.apache.spark.unsafe.types.UTF8String.fromString(text).trim().toString
+    val toks = WsRe.split(trimmed, -1)
+    val t = toks.length
+    val n =
+      if (t <= maxTok) 1
+      else math.ceil((t - maxTok).toDouble / stride).toInt + 1
+    (0 until n).iterator.map { i =>
+      val start = i * stride
+      val len = math.min(maxTok, t - start)
+      val chunk =
+        if (!withText) null
+        else {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < len) {
+            if (j > 0) sb.append(' ')
+            sb.append(toks(start + j))
+            j += 1
+          }
+          sb.toString
+        }
+      (i, len, chunk)
+    }
+  }
+
   /** Character-class counts (quality-scoring inputs). */
   def alphaChars(c: Column): Column =
     length(c) - length(regexp_replace(c, "[A-Za-z]", ""))
@@ -209,6 +250,90 @@ object TextFunctions {
     })
     element_at(bound, 1)
   }
+
+  /** JIT kernel form of [[repetitionStats]] for the hot scan path
+    * (house rule: per-row counting kernels run in typed mapPartitions —
+    * the Column form's aggregate() HOFs are interpreted per element).
+    * Bit-identical to the expression, step by step:
+    * tokens = split(lower(regexp_replace(trim(text), "\\s+", " ")), " ")
+    * via the SAME UTF8String trim/lower and java.util.regex calls
+    * Catalyst makes; run statistics over sorted gram arrays are
+    * multiplicity statistics, so a count map reproduces maxrun/singles
+    * independent of sort order; round(_, 6) is HALF_UP over the
+    * shortest decimal representation. Null text returns
+    * (null, 0.0, 0.0, 0.0) exactly like the null-propagated expression.
+    * TextFunctionsSpec pins kernel == expression on the real corpus
+    * plus the degenerate shapes.
+    */
+  def repetitionStatsKernel(text: String): (Option[Int], Double, Double, Double) = {
+    if (text == null) return (None, 0.0, 0.0, 0.0)
+    val toks = normTokensKernel(text)
+    val n = toks.length
+    // dup_tok_frac = 1 - distinct/total
+    val seen = new java.util.HashSet[String]()
+    var i = 0
+    while (i < n) { seen.add(toks(i)); i += 1 }
+    val dupTok = if (n > 0) (n - seen.size).toDouble / n.toDouble else 0.0
+    // gram multiplicity stats per order (2 and 3)
+    def gramStats(g: Int): (Int, Int) = { // (maxrun, singles)
+      if (n < g) (0, 0)
+      else {
+        val counts = new java.util.HashMap[String, Int]()
+        var j = 0
+        while (j + g <= n) {
+          val sb = new java.lang.StringBuilder
+          var k2 = 0
+          while (k2 < g) {
+            if (k2 > 0) sb.append(' ')
+            sb.append(toks(j + k2))
+            k2 += 1
+          }
+          counts.merge(sb.toString, 1, Integer.sum)
+          j += 1
+        }
+        var maxrun = 0; var singles = 0
+        val it = counts.values().iterator()
+        while (it.hasNext) {
+          val c = it.next()
+          if (c > maxrun) maxrun = c
+          if (c == 1) singles += 1
+        }
+        (maxrun, singles)
+      }
+    }
+    val (max2, _) = gramStats(2)
+    val n2 = n - 1
+    val top2 = if (n2 > 0) max2.toDouble / n2.toDouble else 0.0
+    val (_, singles3) = gramStats(3)
+    val n3 = n - 2
+    val dup3 = if (n3 > 0) (n3 - singles3).toDouble / n3.toDouble else 0.0
+    (Some(n), round6(dupTok), round6(top2), round6(dup3))
+  }
+
+  private val WsRe = java.util.regex.Pattern.compile("\\s+")
+  private val SpaceRe = java.util.regex.Pattern.compile(" ")
+
+  /** tokens(c) as a Scala kernel — the exact Catalyst evaluation chain:
+    * UTF8String.trim (spaces only, NOT Java's control-char trim), java
+    * regex "\\s+" -> " ", UTF8String.toLowerCase (ASCII fast path /
+    * locale slow path, as the Lower expression), split on " " with
+    * limit -1 (trailing empties kept, like StringSplit).
+    */
+  private[graft] def normTokensKernel(text: String): Array[String] = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val trimmed = UTF8String.fromString(text).trim().toString
+    val collapsed = WsRe.matcher(trimmed).replaceAll(" ")
+    val lowered = UTF8String.fromString(collapsed).toLowerCase.toString
+    SpaceRe.split(lowered, -1)
+  }
+
+  /** round(x, 6) with Spark round() semantics (HALF_UP over the
+    * shortest decimal representation; non-finite passes through).
+    */
+  private def round6(v: Double): Double =
+    if (java.lang.Double.isFinite(v))
+      BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    else v
 
   /** PII redaction patterns — deliberately simple (RFC-ish email, a
     * 555-prefixed phone shape) so the SAME pattern string runs under

@@ -40,7 +40,10 @@ object Dedup {
     * instead ([[Bloom.membershipJoin]]'s `caches` param,
     * StreamExtract's per-micro-batch instance).
     */
-  private val caches = new CacheRegistry
+  // private[operators]: Similarity/Corpus ride the SAME registry (their
+  // operators share Dedup's sequential caller contract, and the bench /
+  // verify harnesses release exactly this registry between queries)
+  private[operators] val caches = new CacheRegistry
 
   private def materialize(df: DataFrame): DataFrame = caches.materialize(df)
 
@@ -168,7 +171,14 @@ object Dedup {
       .partitionBy(col("doc_id")).orderBy(col("df"), col("g"))
     val ranked = ex.join(df, "g")
       .withColumn("rn", row_number().over(w))
-    val prefix = (if (prefixFilter)
+    // materialized (persist + eager count, the file-wide multi-consumer
+    // contract): the prefix table feeds BOTH sides of the candidate
+    // self-join below, and that join is broadcast-shaped at small scale
+    // — without the cache each side re-runs the whole df-aggregate +
+    // window subtree (measured: two Exchange(g) + two Window(doc_id)
+    // pairs in the r06 before-plan, i.e. the candidate stage computed
+    // twice; at 10^9 docs that is two extra corpus-wide shuffles)
+    val prefix = materialize((if (prefixFilter)
       // the 1e-9 guard keeps IEEE noise (0.07*100 = 7.000000000000001)
       // from rounding the ceiling UP past the true integer product and
       // shortening the prefix below what the recall theorem requires;
@@ -176,7 +186,7 @@ object Dedup {
       ranked.filter(col("rn") <=
         col("n_sh") - ceil(lit(minJ) * col("n_sh") - lit(1e-9)) + 1)
     else ranked)
-      .select(col("doc_id"), col("g"), col("rn"), col("n_sh"))
+      .select(col("doc_id"), col("g"), col("rn"), col("n_sh")))
     // required overlap for J >= t, with the same safe-direction epsilon
     val alpha = ceil(lit(minJ / (1 + minJ)) *
       (col("a.n_sh") + col("b.n_sh")) - lit(1e-9))
@@ -802,11 +812,25 @@ object Dedup {
         .as(Seq("s", "gram"))))
     val dup = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
       .where(col("cnt") >= 2).select("gram")
+    // covered-position count as an interval-union sweep (r06): each
+    // duplicated start s covers [s, s+n); per doc the starts are
+    // distinct, so over the ASCENDING start list the union size is
+    // sum(min(n, s_i - s_{i-1})) with s_{-1} = -n. One groupBy(doc_id)
+    // of the duplicated starts replaces the old explode(sequence) →
+    // distinct → groupBy chain — no n-fold row amplification and two
+    // fewer corpus-scaled exchanges; the per-doc sweep runs over a
+    // bounded array (<= the doc's own token count). Bit-equal to the
+    // distinct-position count by construction (DedupSpec pins it).
     val covered = g.join(dup, "gram")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(col("s"))).as("ss"))
       .select(col("doc_id"),
-        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
-      .distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("dup_tok"))
+        aggregate(col("ss"),
+          struct(lit(-n.toLong).as("prev"), lit(0L).as("cov")),
+          (st, s0) => struct(s0.cast("long").as("prev"),
+            (st.getField("cov") +
+              least(lit(n.toLong), s0 - st.getField("prev"))).as("cov")),
+          st => st.getField("cov")).as("dup_tok"))
     docs
       .select(col(idCol).as("doc_id"),
         size(tokens(col(textCol))).as("n_tok"))

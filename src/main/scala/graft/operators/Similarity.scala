@@ -398,6 +398,15 @@ object Similarity {
     */
   private val ExtPlanes = 16
 
+  /** Tracked multi-consumer materialization — Similarity's bucket
+    * tables ride [[Dedup.caches]] (same sequential caller contract;
+    * the bench/verify harnesses release exactly that registry between
+    * queries, so a second object-level registry here would leak
+    * persisted blocks across a 50-query session).
+    */
+  private def materialize(df: DataFrame): DataFrame =
+    Dedup.caches.materialize(df)
+
   /** Blocking planes sized so the EXPECTED bucket holds ~targetBucket
     * vectors: 2^planes buckets per table over n rows. Callers read n
     * from table stats (graft.sources.TableStats / Iceberg snapshot
@@ -444,8 +453,13 @@ object Similarity {
         }.toDF("id", "tbl", "bucket", "ext")
       if (maxBucket <= 0) banded.select("id", "tbl", "bucket")
       else {
+        // materialized: the banded kernel scan feeds the oversize
+        // aggregate AND the re-split join below — without the cache the
+        // r06 before-plan ran the corpus kernel scan twice here (and,
+        // through candidatePairs' self-join, four times end to end)
+        val bandedM = materialize(banded)
         val over = broadcast(
-          banded.groupBy(col("tbl"), col("bucket"))
+          bandedM.groupBy(col("tbl"), col("bucket"))
             .agg(count(lit(1)).as("n"))
             .filter(col("n") > maxBucket)
             .select(col("tbl"), col("bucket"),
@@ -458,7 +472,7 @@ object Similarity {
         // recreating the pair blowup the cap exists to bound); requires
         // planes + depth <= 56, which ExtPlanes=16 and sane plane
         // counts satisfy
-        banded.join(over, Seq("tbl", "bucket"), "left")
+        bandedM.join(over, Seq("tbl", "bucket"), "left")
           .withColumn("bucket", when(col("depth").isNull, col("bucket"))
             .otherwise(expr(
               "shiftleft(cast(depth AS bigint), 56) | " +
@@ -480,7 +494,12 @@ object Similarity {
     */
   def candidatePairs(corpus: DataFrame, vecCol: String, idCol: String,
       planes: Int, tables: Int, maxBucket: Int = 0): DataFrame = {
-    val keyed = bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket)
+    // materialized: both sides of the bucket self-join read this table;
+    // without the cache each side re-runs the banded kernel scan (plus
+    // the re-split subtree when maxBucket > 0) — the r06 before-plan
+    // showed four MapPartitions corpus scans for one s3 query
+    val keyed = materialize(
+      bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket))
     // candidate pairs carry IDS ONLY — vectors are joined back just for
     // the surviving pair set
     keyed.as("a").join(keyed.as("b"),
@@ -547,32 +566,65 @@ object Similarity {
     * HOF, so the fold is exact and engine-order-free.
     */
   def sq8Quantize(df: DataFrame, vecCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val idType = df.schema(idCol).dataType
     val v = col(vecCol).cast("array<double>")
     val stats = df.select(posexplode(v).as(Seq("pos", "x")))
       .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
       .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
         .as("stats"))
+      // two plain double arrays (pos-ordered) — the single stats row a
+      // JIT kernel can read without per-element struct getters
+      .select(transform(col("stats"), s => s.getField("mn")).as("mns"),
+        transform(col("stats"), s => s.getField("mx")).as("mxs"))
+    // encode pass as a JIT Scala kernel (house rule: per-row numeric
+    // kernels run in typed mapPartitions — the previous interpreted
+    // transform/aggregate HOF chain re-evaluated a struct expression
+    // tree with decimal casts per vector component). Semantics are the
+    // exact Catalyst ones, step by step: round(x, 0) = HALF_UP over the
+    // shortest decimal representation (sq8Code), decimal(30,10)
+    // accumulation = each term setScale(10, HALF_UP) then exact decimal
+    // addition (the fold is order-free), final cast-to-double + round 6.
     df.crossJoin(broadcast(stats))
-      .select(col(idCol), v.as("v"), col("stats"))
-      .withColumn("enc", transform(col("v"), (x, i) => {
-        val st = element_at(col("stats"), i + 1)
-        val mn = st.getField("mn")
-        val mx = st.getField("mx")
-        val code = when(mx > mn,
-          round((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
-          .otherwise(lit(0))
-        val dq = when(mx > mn,
-          mn + code.cast("double") * (mx - mn) / lit(255.0)).otherwise(mn)
-        struct(code.as("code"), ((x - dq) * (x - dq)).as("se"))
-      }))
-      .select(col(idCol),
-        array_join(transform(col("enc"),
-          e => e.getField("code").cast("string")), ",").as("codes"),
-        round(aggregate(col("enc"), lit(0).cast("decimal(30,10)"),
-          // re-pin the accumulator type: decimal + widens precision per
-          // step, and the HOF requires a stable accumulator schema
-          (acc, e) => (acc + e.getField("se").cast("decimal(30,10)"))
-            .cast("decimal(30,10)"))
-          .cast("double"), 6).as("sq_err"))
+      .select(col(idCol).cast("string").as("id"), v.as("v"),
+        col("mns"), col("mxs"))
+      .as[(String, Seq[Double], Seq[Double], Seq[Double])]
+      .mapPartitions(_.map { case (id, vec, mns, mxs) =>
+        if (vec == null) (id, None: Option[String], None: Option[Double])
+        else {
+          val sb = new java.lang.StringBuilder
+          var acc = java.math.BigDecimal.ZERO
+          var i = 0
+          while (i < vec.length) {
+            val x = vec(i); val mn = mns(i); val mx = mxs(i)
+            val code = if (mx > mn) sq8Code(x, mn, mx) else 0
+            val dq = if (mx > mn) mn + code.toDouble * (mx - mn) / 255.0
+              else mn
+            val se = (x - dq) * (x - dq)
+            if (i > 0) sb.append(',')
+            sb.append(code)
+            acc = acc.add(java.math.BigDecimal.valueOf(se)
+              .setScale(10, java.math.RoundingMode.HALF_UP))
+            i += 1
+          }
+          (id, Some(sb.toString), Some(round6(acc.doubleValue)))
+        }
+      })
+      .toDF("id", "codes", "sq_err")
+      .select(col("id").cast(idType).as(idCol), col("codes"), col("sq_err"))
+  }
+
+  /** round((x - mn) * 255 / (mx - mn)) cast int, exactly as Catalyst
+    * evaluates it: Round(double, 0) is HALF_UP over the shortest
+    * decimal representation (non-finite values pass through, like
+    * Spark's RoundBase), then the double-to-int cast truncates.
+    */
+  private def sq8Code(x: Double, mn: Double, mx: Double): Int = {
+    val r = (x - mn) * 255.0 / (mx - mn)
+    if (java.lang.Double.isFinite(r))
+      BigDecimal(r).setScale(0, BigDecimal.RoundingMode.HALF_UP)
+        .toDouble.toInt
+    else r.toInt
   }
 }

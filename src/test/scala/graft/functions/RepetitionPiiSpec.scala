@@ -67,6 +67,32 @@ class RepetitionPiiSpec extends AnyFunSuite {
     assert(noDup._2 == 0.0 && noDup._3 == r6(1.0 / 5) && noDup._4 == 0.0)
   }
 
+  test("repetitionStatsKernel is bit-identical to the Column expression") {
+    import spark.implicits._
+    // the r06 optimization runs t7 through the JIT kernel; pin it
+    // against the original expression on the edge shapes (null text,
+    // empty, whitespace mess, non-ASCII case fold) AND the real corpus
+    val edges: Seq[String] = Seq(
+      null, "", " ", "solo", "a a a a a", "p q r s t u",
+      "a b a b a b a", "  The   THE the\tz  ", "ÉCOLE école Straße",
+      "w1 w2 w1 w2 w3 w1 w2 w1 w2 w3", "x y x y") // nbsp is not \s
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq
+    val texts = edges ++ corpus
+    val viaExpr = texts.zipWithIndex.map { case (t, i) => (i, t) }
+      .toDF("id", "text")
+      .select($"id", TextFunctions.repetitionStats($"text").as("r"))
+      .orderBy("id").collect()
+      .map { row =>
+        val r = row.getStruct(1)
+        (if (r.isNullAt(0)) None else Some(r.getInt(0)),
+          r.getDouble(1), r.getDouble(2), r.getDouble(3))
+      }.toSeq
+    val viaKernel = texts.map(TextFunctions.repetitionStatsKernel)
+    assert(viaKernel == viaExpr)
+  }
+
   test("piiRedact masks all emails and phones, leaves clean text alone") {
     import spark.implicits._
     val got = Seq(

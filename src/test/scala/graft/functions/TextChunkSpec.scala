@@ -137,4 +137,40 @@ class TextChunkSpec extends AnyFunSuite {
       .count()
     assert(n == 0L) // explode of null emits no rows
   }
+
+  test("tokenChunksKernel is row-identical to the generator expression") {
+    import spark.implicits._
+    // r06 runs c1/c2/c3 through the JIT kernel; pin it against the
+    // tokenChunks expression on edge shapes and the real corpus
+    // (leading/trailing-empty split fields, tabs, exact-fit windows)
+    val edges = Seq(
+      "", " ", "a", "\ta b", "a b ", "  a   b  c\t\nd ",
+      (1 to 32).map("w" + _).mkString(" "),
+      (1 to 33).map("w" + _).mkString(" "),
+      (1 to 100).map("w" + _).mkString(" "))
+    val corpus = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"text").as[String].collect().toSeq.filter(_ != null)
+    val texts = edges ++ corpus
+    for ((maxTok, stride) <- Seq((32, 24), (4, 2), (1, 1), (5, 5))) {
+      val viaExpr = texts.zipWithIndex.map { case (t, i) => (i, t) }
+        .toDF("id", "text")
+        .select($"id",
+          explode(TextFunctions.tokenChunks($"text", maxTok, stride))
+            .as("c"))
+        .select($"id", $"c.chunk_idx", $"c.n_tok", $"c.chunk")
+        .as[(Int, Int, Int, String)].collect().toSeq.sorted
+      val viaKernel = texts.zipWithIndex.flatMap { case (t, i) =>
+        TextFunctions.tokenChunksKernel(t, maxTok, stride)
+          .map { case (idx, nt, ch) => (i, idx, nt, ch) }
+      }.sorted
+      assert(viaKernel == viaExpr, s"maxTok=$maxTok stride=$stride")
+      // the grid-only rendition agrees with the full one minus text
+      val gridOnly = texts.zipWithIndex.flatMap { case (t, i) =>
+        TextFunctions.tokenChunksKernel(t, maxTok, stride, withText = false)
+          .map { case (idx, nt, ch) => assert(ch == null); (i, idx, nt) }
+      }.sorted
+      assert(gridOnly == viaKernel.map { case (i, idx, nt, _) => (i, idx, nt) })
+    }
+  }
 }

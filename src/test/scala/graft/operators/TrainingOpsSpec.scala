@@ -104,6 +104,41 @@ class TrainingOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 2, 0L), (1L, 2, 0L), (2L, 3, 0L)))
   }
 
+  test("d8: interval-union sweep equals the explode-distinct count") {
+    // r06 rewrote the covered-position count from explode(sequence) →
+    // distinct → count into a per-doc interval sweep; pin the operator
+    // against the original formulation on the real sf0.001 corpus
+    import org.apache.spark.sql.functions._
+    val n = graft.SparkEntry.D8Gram
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.duplicatedSpanStats(docs, "text", "doc_id", n)
+      .orderBy("doc_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getInt(1), r0.getLong(2), r0.getDouble(3)))
+    Dedup.releaseCaches()
+    val g = docs.select(col("doc_id"),
+      posexplode(graft.functions.TextFunctions.orderedGrams(col("text"), n))
+        .as(Seq("s", "gram")))
+    val dup = g.groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= 2).select("gram")
+    val covered = g.join(dup, "gram")
+      .select(col("doc_id"),
+        explode(sequence(col("s"), col("s") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("dup_tok"))
+    val want = docs
+      .select(col("doc_id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tok"))
+      .join(covered, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tok"),
+        coalesce(col("dup_tok"), lit(0L)).as("dup_tok"))
+      .withColumn("dup_frac", round(col("dup_tok") / col("n_tok"), 6))
+      .orderBy("doc_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getInt(1), r0.getLong(2), r0.getDouble(3)))
+    assert(got.toSeq == want.toSeq)
+    // sanity: the planted exact-dup docs make the signal nonzero
+    assert(got.exists(_._3 > 0))
+  }
+
   // ---------------------------------------------------------------- e2
   test("e2: range endpoints code to 0/255 and reconstruct exactly") {
     import spark.implicits._
@@ -154,5 +189,46 @@ class TrainingOpsSpec extends AnyFunSuite {
         assert(math.abs(dq - v(d)) <= step(d) / 2 + 1e-12)
       }
     }
+  }
+
+  test("e2: JIT encode kernel is bit-identical to the Catalyst HOF form") {
+    // the r06 optimization moved the encode pass from an interpreted
+    // transform/aggregate expression chain into a typed kernel; this
+    // pins the kernel against the ORIGINAL HOF formulation (reproduced
+    // here verbatim) on the real sf0.001 embeddings — codes string and
+    // decimal-summed sq_err must match to the last bit
+    import org.apache.spark.sql.functions._
+    val df = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val v = col("embedding").cast("array<double>")
+    val stats = df.select(posexplode(v).as(Seq("pos", "x")))
+      .groupBy("pos").agg(min("x").as("mn"), max("x").as("mx"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("mn"), col("mx"))))
+        .as("stats"))
+    val hof = df.crossJoin(broadcast(stats))
+      .select(col("vec_id"), v.as("v"), col("stats"))
+      .withColumn("enc", transform(col("v"), (x, i) => {
+        val st = element_at(col("stats"), i + 1)
+        val mn = st.getField("mn")
+        val mx = st.getField("mx")
+        val code = when(mx > mn,
+          round((x - mn) * lit(255.0) / (mx - mn)).cast("int"))
+          .otherwise(lit(0))
+        val dq = when(mx > mn,
+          mn + code.cast("double") * (mx - mn) / lit(255.0)).otherwise(mn)
+        struct(code.as("code"), ((x - dq) * (x - dq)).as("se"))
+      }))
+      .select(col("vec_id"),
+        array_join(transform(col("enc"),
+          e => e.getField("code").cast("string")), ",").as("codes"),
+        round(aggregate(col("enc"), lit(0).cast("decimal(30,10)"),
+          (acc, e) => (acc + e.getField("se").cast("decimal(30,10)"))
+            .cast("decimal(30,10)"))
+          .cast("double"), 6).as("sq_err"))
+      .orderBy("vec_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getDouble(2)))
+    val kernel = Similarity.sq8Quantize(df, "embedding", "vec_id")
+      .orderBy("vec_id").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getDouble(2)))
+    assert(kernel.toSeq == hof.toSeq)
   }
 }
