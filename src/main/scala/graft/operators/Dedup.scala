@@ -566,9 +566,15 @@ object Dedup {
       var growing = true
       while (growing && depth <= depthCap) {
         // the oversize list is bounded by n/maxBucket keys — broadcast
-        // it back instead of shuffling the frontier twice
+        // it back instead of shuffling the frontier twice. coalesce(1)
+        // before the persist (r06): the table is about to be BROADCAST,
+        // so it fits one partition by construction — materializing it
+        // at the shuffle-partition count just multiplies task overhead
+        // for every fill/read of the cache (cached plans keep their
+        // partitioning; AQE does not coalesce them)
         val over = frontier.groupBy("bkey").agg(count(lit(1)).as("n"))
           .filter(col("n") > maxBucket).select("bkey")
+          .coalesce(1)
           .persist(lvl)
         perLevel += over
         if (over.count() == 0) growing = false
@@ -722,11 +728,16 @@ object Dedup {
         .union(edges.select(col("v").as("u"), col("u").as("v")))
       val lmins = nbrs.groupBy("u")
         .agg(least(min(col("v")), col("u")).as("m"))
+      // ls is NOT checkpointed (r06): its three consumers (smins, the
+      // re-hang join, the union) sit inside the single ss plan below,
+      // where ls ends in a distinct whose Exchange is reused across
+      // consumers — a per-iteration eager checkpoint job bought nothing
+      // (lineage growth stays bounded because ss IS checkpointed each
+      // round, so ls's plan is always one round deep)
       val ls = nbrs.filter(col("v") > col("u"))
         .join(lmins, "u")
         .select(col("v").as("u"), col("m").as("v"))
         .filter(col("u") =!= col("v")).distinct()
-        .localCheckpoint(true)
       // small-star: all neighbors are < u (canonical orientation);
       // re-hang u and each smaller neighbor under the smallest one
       val smins = ls.groupBy("u").agg(min(col("v")).as("m"))
@@ -737,9 +748,10 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
       // fixpoint check: every edge present on both sides appears twice
-      // in the bag union (each side is distinct)
-      changed = ss.union(edges).groupBy("u", "v").count()
-        .filter(col("count") =!= 2).count()
+      // in the bag union (each side is distinct). isEmpty, not count():
+      // the convergence decision needs one witness row, not the tally
+      changed = if (ss.union(edges).groupBy("u", "v").count()
+          .filter(col("count") =!= 2).isEmpty) 0L else 1L
       edges = ss
       iter += 1
     }
