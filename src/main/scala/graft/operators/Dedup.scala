@@ -302,8 +302,14 @@ object Dedup {
       .as[(String, Seq[String])]
     // one (band, bandHash) row per band — ids only; shingling + minhash
     // run exactly ONCE over the corpus, and the band self-join never
-    // shuffles document content
-    val banded = minhashBandRows(tokenized, n, perms, bands)
+    // shuffles document content.
+    // Materialized (r06): the banding scan runs the minhash kernel
+    // (perms x shingles hashes per doc) — without the cache BOTH
+    // self-join sides recomputed it. No join-key repartition here: the
+    // band table is rows-per-doc-bounded and its candidate volume is
+    // small by design, so the join's own exchanges are cheaper than an
+    // extra materialized shuffle (measured on sf0.1).
+    val banded = materialize(minhashBandRows(tokenized, n, perms, bands))
     // pair ordering on the NATIVE id type — string compare would order
     // ("10" < "2") and silently disagree with jaccardPairs on numeric ids
     val cand = banded.as("a").join(banded.as("b"),

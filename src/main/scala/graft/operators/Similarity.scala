@@ -494,12 +494,18 @@ object Similarity {
     */
   def candidatePairs(corpus: DataFrame, vecCol: String, idCol: String,
       planes: Int, tables: Int, maxBucket: Int = 0): DataFrame = {
-    // materialized: both sides of the bucket self-join read this table;
-    // without the cache each side re-runs the banded kernel scan (plus
-    // the re-split subtree when maxBucket > 0) — the r06 before-plan
-    // showed four MapPartitions corpus scans for one s3 query
+    // materialized HASH-PARTITIONED ON THE JOIN KEY: both sides of the
+    // bucket self-join read this table, so the repartition pays the
+    // join's exchange ONCE and both sides (and their sorts) reuse the
+    // cached partitioning — without it each side re-ran the banded
+    // kernel scan (the r06 before-plan showed four MapPartitions corpus
+    // scans for one s3 query) and the join re-exchanged the table
+    // twice. Partition count rides spark.sql.shuffle.partitions, and
+    // locally this also breaks the 1-input-split scan's single-task
+    // funnel for the (candidate-volume-sized) pair generation.
     val keyed = materialize(
-      bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket))
+      bandedBuckets(corpus, vecCol, idCol, planes, tables, maxBucket)
+        .repartition(col("tbl"), col("bucket")))
     // candidate pairs carry IDS ONLY — vectors are joined back just for
     // the surviving pair set
     keyed.as("a").join(keyed.as("b"),
