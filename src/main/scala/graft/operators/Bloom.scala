@@ -111,10 +111,15 @@ object Bloom {
         positions(col("fp"), col("m"), k).as("pa"))
       .select(col(idCol), col("fp"), size(col("pa")).as("np"),
         explode(col("pa")).as("pos"))
+    // distinct matched positions via collect_set (r06): same replay-safe
+    // semantics as countDistinct (set size of non-null matched positions,
+    // so an at-least-once replayed arrival row cannot distort the count)
+    // but ONE exchange instead of the two-phase distinct aggregate — the
+    // set is bounded by k elements per group
     val hits = aPos.join(bits, Seq("pos"), "left")
       .groupBy(col(idCol), col("fp"), col("np"))
-      .agg(countDistinct(when(col("__set").isNotNull, col("pos")))
-        .as("nh"))
+      .agg(size(collect_set(when(col("__set").isNotNull, col("pos"))))
+        .cast("long").as("nh"))
     val cDup = cFp.distinct().withColumn("__dup", lit(1))
     hits.join(cDup, Seq("fp"), "left")
       .select(col(idCol), col("fp"),
