@@ -172,7 +172,11 @@ object Corpus {
     val spark = docs.sparkSession
     import spark.implicits._
     val idType = docs.schema(idCol).dataType
-    val dt = Dedup.caches.materialize(docs
+    // dt is NOT cached: it is a pure narrow kernel over the scan (no
+    // shuffle anywhere in its lineage), so its two consumers re-run a
+    // cheap tokenize pass each — cheaper than writing and reading a
+    // corpus-token-sized cache at every scale
+    val dt = docs
       .select(col(idCol).cast("string").as("doc_id"),
         graft.functions.TextFunctions.tokens(col(textCol)).as("t"))
       .as[(String, Seq[String])]
@@ -186,7 +190,7 @@ object Corpus {
             .map(e => (id, e.getKey, e.getValue))
         }
       })
-      .toDF("doc_id", "tok", "c"))
+      .toDF("doc_id", "tok", "c")
     val lm = Dedup.caches.materialize(
       dt.groupBy("tok").agg(sum("c").as("tf")))
     val total = lm.agg(sum("tf").as("n_total"))
