@@ -160,7 +160,12 @@ object Bloom {
     }
     parts.union(spark.createDataset(Seq(new Array[Long](words))))
       .reduce { (a, b) =>
-        var i = 0; while (i < words) { a(i) |= b(i); i += 1 }; a
+        // fresh result array (round-5 ADVICE): mutating `a` in place
+        // worked only because the Array[Long] encoder deserializes a
+        // copy per element — an implicit dependency on encoder copy
+        // semantics that object reuse would silently break
+        val out = new Array[Long](words)
+        var i = 0; while (i < words) { out(i) = a(i) | b(i); i += 1 }; out
       }
   }
 

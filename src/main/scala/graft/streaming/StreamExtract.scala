@@ -203,6 +203,14 @@ object StreamExtract {
           .as[(ExtractedDoc, String)]
           .map { case (d, f) => (d, Bloom.probeOne(f, bc.value, m)) }
           .toDF("doc", "hit"))
+        // probed is materialized above, so the bitset broadcast can be
+        // dropped from the executors now instead of accumulating one
+        // per micro-batch until ContextCleaner GC (round-5 ADVICE).
+        // unpersist, NOT destroy: a cache partition lost with its
+        // executor recomputes from lineage, which re-reads the
+        // broadcast — after unpersist that re-fetches from the driver,
+        // after destroy it would throw.
+        bc.unpersist()
         val definitelyNew = probed.filter(!col("hit")).select("doc.*")
         val maybeCommitted = probed.filter(col("hit")).select("doc.*")
         dropCommittedExact(maybeCommitted, committed,

@@ -146,8 +146,10 @@ class BloomSpec extends AnyFunSuite {
     import spark.implicits._
     val (_, arrivals) = corpus
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
-    // join rendition: m = 0 keys -> degenerate; the operator must not
-    // divide by zero (m = 0 makes every position NULL -> no hit)
+    // join rendition: 0 committed keys -> membershipJoin floors m at 1
+    // (greatest(count*bitsPerKey, 1)), so every probe maps to position
+    // 0, which is unset because the filter table is empty -> no hit,
+    // and no ANSI divide-by-zero in `% m`
     val out = Bloom.membershipJoin(empty, arrivals,
       df => df("text"), df => df("text"), "doc_id").collect()
     assert(out.length == 100)
