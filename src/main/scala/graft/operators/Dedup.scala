@@ -606,12 +606,17 @@ object Dedup {
         perLevel.filter(_ ne frontier).foreach(_.unpersist())
         frontier
       } else {
-        // materialize the final union, then drop EVERY per-level cache:
-        // consumers read the one registered result table, not the
-        // recursion's intermediates
-        val result = materialize(done.foldLeft(frontier)(_ union _))
-        perLevel.foreach(_.unpersist())
-        result
+        // return the LAZY union over the per-level caches (r06): every
+        // input is already persisted and the union itself is narrow, so
+        // materializing a third copy just costs an extra fill pass and
+        // cache write at any scale — consumers' reads hit the level
+        // caches directly (the anti-join parts re-derive per read, but
+        // both their inputs — frontier and the oversize list — are
+        // cached, so no kernel or shuffle recomputes). The level caches
+        // are tracked for the harness's releaseCaches instead of being
+        // dropped here, since the returned plan reads them lazily.
+        perLevel.foreach(caches.track)
+        done.foldLeft(frontier)(_ union _)
       }
     }
   }
